@@ -1,0 +1,243 @@
+"""HTML → interleaved span-sequence parser (the `documents` table row shape).
+
+Reference semantics being matched (span-sequence equality on
+(kind, text, media_ref, order) — BASELINE.json input_hint):
+
+- visible text nodes: every stripped, non-empty text node whose parent tag is
+  not in {style, script, head, title, meta, [document]} and is not a comment,
+  with kind = the enclosing tag name (backend/HTMLParser.py:87-98; same
+  filter in backend/crawler/scraper.py:512-514),
+- title: first <title> string, stripped, first line; fallback = basename of
+  the URL path (backend/HTMLParser.py:81-85),
+- html-vs-raw decision: has <html>, or (path has no extension in its last 6
+  chars or an html-ish extension) and at least one tag
+  (backend/HTMLParser.py:77-80); raw docs produce a single span with kind ''
+  (the reference's ``[[None, content]]``, HTMLParser.py:98),
+- outlinks: every <a href> and sitemap <loc>, absolutized + defragged
+  (backend/crawler/scraper.py:429-432, 490) → interleaved spans with
+  kind='link', text = anchor visible text, media_ref = resolved URL,
+- media (<img>, <source>, <video src>, <audio src>, <embed src>): the
+  rebuild's interleaved-media extension (input_hint) → kind='media',
+  text = alt text, media_ref = resolved URL.  The reference follows only
+  a/loc links, so media spans never feed the frontier.
+- offset: the running tokenized-char accumulator the reference tracks as
+  ``fileLength`` (backend/Filter.py:83-88): each text span advances it by
+  sum(len(token)+1) of its index-tokenized text.
+
+The reference uses BeautifulSoup + lxml; neither is installed here, so this
+is a from-scratch parser over ``html.parser.HTMLParser`` (stdlib) that
+reproduces the text-node/parent semantics above for the HTML the engine
+processes.  Pure module: shared verbatim by the serial oracle and all Ray
+stages.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from html.parser import HTMLParser as _StdHTMLParser
+from urllib.parse import urlparse
+
+from .tokenize import tokenize
+from .urltools import absolute_url
+
+EXCLUDED_PARENTS = frozenset({"style", "script", "head", "title", "meta", "[document]"})
+VOID_TAGS = frozenset(
+    {"area", "base", "br", "col", "embed", "hr", "img", "input",
+     "link", "meta", "param", "source", "track", "wbr"}
+)
+HTMLISH_EXTS = (
+    ".html", ".xml", ".xhtml", ".phtml", ".shtml", ".htm", ".php", ".aspx",
+    ".asp", ".jsp",
+)
+MEDIA_TAGS = frozenset({"img", "source", "video", "audio", "embed"})
+
+
+@dataclass
+class Span:
+    kind: str
+    text: str
+    media_ref: str
+    offset: int = 0
+
+
+@dataclass
+class ParsedDoc:
+    url: str
+    title: str
+    spans: list[Span]
+    tag_count: int
+    is_sitemap: bool
+    is_html: bool
+
+    @property
+    def links(self) -> list[str]:
+        """a@href + loc targets in document order (scraper.py:490 xpath)."""
+        return [s.media_ref for s in self.spans if s.kind == "link"]
+
+    @property
+    def visible_text(self) -> str:
+        """Space-joined visible text nodes (scraper.py:512-514)."""
+        return " ".join(
+            s.text for s in self.spans if s.kind not in ("link", "media")
+        )
+
+    def text_spans(self) -> list[Span]:
+        return [s for s in self.spans if s.kind not in ("link", "media")]
+
+
+class _SpanExtractor(_StdHTMLParser):
+    def __init__(self, base_url: str):
+        super().__init__(convert_charrefs=True)
+        self.base_url = base_url
+        self.stack: list[str] = []
+        self.spans: list[Span] = []
+        self.tag_count = 0
+        self.has_html = False
+        self.loc_count = 0
+        self.title: str | None = None
+        self._title_buf: list[str] | None = None
+        self._data_buf: list[str] = []
+        self._anchors: list[tuple[str, list[str]]] = []  # (href, text parts)
+
+    # -- text-node handling: contiguous data between tag events is one node --
+    def _flush_data(self) -> None:
+        if not self._data_buf:
+            return
+        raw = "".join(self._data_buf)
+        self._data_buf = []
+        parent = self.stack[-1] if self.stack else "[document]"
+        if self._title_buf is not None and parent == "title":
+            self._title_buf.append(raw)
+            return
+        stripped = raw.strip()
+        if not stripped:
+            return
+        if self._anchors:
+            self._anchors[-1][1].append(stripped)
+        if parent in EXCLUDED_PARENTS:
+            return
+        self.spans.append(Span(parent, stripped, ""))
+        if parent == "loc":
+            # sitemap <loc> — an outlink target (scraper.py:429-432)
+            self.spans.append(
+                Span("link", stripped, absolute_url(self.base_url, stripped))
+            )
+            self.loc_count += 1
+
+    def handle_starttag(self, tag, attrs):
+        self._flush_data()
+        self.tag_count += 1
+        if tag == "html":
+            self.has_html = True
+        adict = dict(attrs)
+        if tag == "a":
+            self._anchors.append((adict.get("href", ""), []))
+        if tag in MEDIA_TAGS:
+            src = adict.get("src") or adict.get("data-src") or ""
+            if src:
+                self.spans.append(
+                    Span("media", (adict.get("alt") or "").strip(),
+                         absolute_url(self.base_url, src))
+                )
+        if tag == "title" and self.title is None and self._title_buf is None:
+            self._title_buf = []
+        if tag not in VOID_TAGS:
+            self.stack.append(tag)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in VOID_TAGS:
+            # self-closing non-void: treat as immediately closed
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag):
+        self._flush_data()
+        if tag == "title" and self._title_buf is not None and self.title is None:
+            self.title = "".join(self._title_buf)
+            self._title_buf = None
+        if tag == "a" and self._anchors:
+            href, parts = self._anchors.pop()
+            if href:
+                self.spans.append(
+                    Span("link", " ".join(parts), absolute_url(self.base_url, href))
+                )
+            if self._anchors:  # nested anchors: propagate text upward
+                self._anchors[-1][1].extend(parts)
+        # lenient pop: close up to the matching open tag if present
+        if tag in self.stack:
+            while self.stack and self.stack[-1] != tag:
+                self.stack.pop()
+            if self.stack:
+                self.stack.pop()
+
+    def handle_data(self, data):
+        self._data_buf.append(data)
+
+    def handle_comment(self, data):
+        self._flush_data()  # comments break text nodes and are skipped
+
+    def close(self):
+        super().close()
+        self._flush_data()
+
+
+def _basename_title(url: str) -> str:
+    return os.path.split(urlparse(url).path)[-1].strip()
+
+
+def tokenized_len(text: str) -> int:
+    """len of the space-joined token stream the filter writes per span
+    (Filter.py:77: ``elemText += token + " "``)."""
+    return sum(len(t) + 1 for t, _ in tokenize(text))
+
+
+def parse_document(content: str, url: str, encoding: str = "utf-8") -> ParsedDoc:
+    """Parse one page into its interleaved span sequence."""
+    extractor = _SpanExtractor(url)
+    try:
+        extractor.feed(content)
+        extractor.close()
+    except Exception:
+        pass  # lenient, like bs4 on broken markup
+
+    urlpath = urlparse(url).path
+    if urlpath.endswith("/") or urlpath.endswith("~"):
+        urlpath = urlpath[:-1]
+    htmlish = extractor.has_html or (
+        ("." not in urlpath[-6:] or any(urlpath.endswith(x) for x in HTMLISH_EXTS))
+        and extractor.tag_count != 0
+    )
+
+    if htmlish:
+        if extractor.title is None:
+            title = _basename_title(url)
+        else:
+            title = extractor.title.strip().split("\n")[0]
+        spans = extractor.spans
+    else:
+        title = _basename_title(url)
+        spans = [Span("", content, "")]
+
+    # offset accumulator (Filter.py:83-88)
+    file_length = 0
+    for s in spans:
+        s.offset = file_length
+        if s.kind not in ("link", "media"):
+            file_length += tokenized_len(s.text)
+
+    return ParsedDoc(
+        url=url,
+        title=title,
+        spans=spans,
+        tag_count=extractor.tag_count,
+        is_sitemap=extractor.loc_count > 0,
+        is_html=htmlish,
+    )
+
+
+def spans_to_pylist(spans: list[Span]) -> list[dict]:
+    return [
+        {"kind": s.kind, "text": s.text, "media_ref": s.media_ref, "offset": s.offset}
+        for s in spans
+    ]

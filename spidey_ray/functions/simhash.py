@@ -1,0 +1,76 @@
+"""Stable 64-bit simhash footprints + similarity.
+
+Reference semantics: 64-bit simhash over a token-frequency dict, +freq when
+the token-hash bit is 1 else -freq, sign -> bit
+(backend/crawler/scraper.py:327-344; duplicate logic backend/Filter.py:24-40),
+compared by fraction of equal bits plus min/max token-length ratio
+(backend/crawler/scraper.py:308-323).
+
+The reference feeds Python's salted ``hash()`` (scraper.py:333) so its
+footprints are not reproducible across processes (SURVEY.md §7.5.1).  The
+rebuild replaces it with the first 8 bytes of sha1(token) — stable across
+processes and machines — shared by the serial oracle so golden outputs are
+deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def token_hash64(token: str) -> int:
+    """Stable unsigned 64-bit token hash (first 8 bytes of sha1)."""
+    return int.from_bytes(hashlib.sha1(token.encode("utf-8")).digest()[:8], "big")
+
+
+def simhash64(freq: dict[str, int]) -> int:
+    """64-bit simhash of a token-frequency dict; bit j is the MSB-first
+    position, matching the reference's ``format(hash(i), '0>64b')`` layout."""
+    vector = np.zeros(64, dtype=np.int64)
+    for token, count in freq.items():
+        h = token_hash64(token)
+        bits = np.frombuffer(
+            np.uint64(h).tobytes()[::-1], dtype=np.uint8
+        )  # big-endian bytes
+        bitarr = np.unpackbits(bits)  # MSB-first 64 bits
+        vector += np.where(bitarr == 1, count, -count)
+    out = np.where(vector >= 1, 1, 0)
+    return int("".join(map(str, out.tolist())), 2)
+
+
+def simhash_from_tokens(tokens: list[str]) -> tuple[int, int]:
+    """(simhash, n_tokens) footprint (scraper.py:327-344)."""
+    freq: dict[str, int] = {}
+    for t in tokens:
+        freq[t] = freq.get(t, 0) + 1
+    return simhash64(freq), len(tokens)
+
+
+def bit_similarity(h1: int, h2: int) -> float:
+    """Fraction of equal bits out of 64 (scraper.py:308-318)."""
+    return (64 - int(bin(h1 ^ h2).count("1"))) / 64.0
+
+
+def length_ratio(n1: int, n2: int) -> float:
+    return min(n1, n2) / max(n1, n2) if max(n1, n2) else 1.0
+
+
+def footprints_similar(
+    h1: int, n1: int, h2: int, n2: int, bit_thresh: float, len_thresh: float
+) -> bool:
+    """Strict-inequality thresholds, as the reference compares with ``>``
+    (scraper.py:465,475; Filter.py:107)."""
+    return bit_similarity(h1, h2) > bit_thresh and length_ratio(n1, n2) > len_thresh
+
+
+def hamming_popcount(xor: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    v = xor.copy()
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((v * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)

@@ -1,0 +1,235 @@
+"""Sharded cuckoo-filter URL-seen state (north_rule T1/D1).
+
+Generalizes the reference's exact shelve membership gate
+(backend/crawler/crawler/frontier.py:60-66 ``urlhash not in self.save``) into
+an approximate-membership structure that scales to a 10^10-URL frontier:
+
+- each shard is a cuckoo filter (B buckets × 4 slots × 16-bit fingerprints,
+  partial-key cuckoo hashing per Fan et al., "Cuckoo Filter: Practically
+  Better Than Bloom", CoNEXT'14): ~2.1 bytes/key at 95% load, supports
+  delete — needed because the reference's ``cancel_urls`` removes
+  blacklisted pending URLs from the seen set so they can be re-added later
+  (frontier.py:80-92),
+- shards are Ray actors; keys are routed by ``key % n_shards`` so shard
+  count (not per-shard memory) scales with frontier size,
+- batched ``seen_or_add`` keeps the actor round-trips per crawl round at
+  O(n_shards), not O(n_urls),
+- ``serialize``/``restore`` round-trips the raw table for the per-round Lance
+  checkpoint (north_rule resumability).
+
+First-seen-wins semantics match frontier.py:60-66; false-positive rate at
+16-bit fingerprints is ~0.003%, and at test scale (10^2..10^4 URLs in a
+2^14-slot filter) collisions are absent, so oracle-equality tests are exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+_EMPTY = np.uint16(0)
+_MAX_KICKS = 500
+
+
+class CuckooFilter:
+    """Single-shard cuckoo filter over unsigned 64-bit keys."""
+
+    def __init__(self, n_buckets: int = 1 << 14, slots: int = 4):
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+        self.n_buckets = n_buckets
+        self.slots = slots
+        self.table = np.zeros((n_buckets, slots), dtype=np.uint16)
+        self.count = 0
+        self._rng = np.random.default_rng(0xC0FFEE)  # deterministic evictions
+
+    # -- hashing ----------------------------------------------------------
+    def _fingerprint(self, key: np.ndarray) -> np.ndarray:
+        fp = ((key >> np.uint64(48)) ^ (key >> np.uint64(32))).astype(np.uint64)
+        fp = (fp & np.uint64(0xFFFF)).astype(np.uint16)
+        return np.where(fp == 0, np.uint16(1), fp)  # 0 is the empty sentinel
+
+    def _index1(self, key: np.ndarray) -> np.ndarray:
+        return (key & np.uint64(self.n_buckets - 1)).astype(np.int64)
+
+    def _index2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # partial-key cuckoo: i2 = i1 xor H(fp)
+        h = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(
+            self.n_buckets - 1
+        )
+        return (i1.astype(np.uint64) ^ h).astype(np.int64)
+
+    # -- scalar ops -------------------------------------------------------
+    def _contains_one(self, i1: int, i2: int, fp: int) -> bool:
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def _insert_one(self, i1: int, i2: int, fp: int) -> bool:
+        for idx in (i1, i2):
+            row = self.table[idx]
+            free = np.nonzero(row == _EMPTY)[0]
+            if free.size:
+                row[free[0]] = fp
+                self.count += 1
+                return True
+        idx = i1
+        cur = np.uint16(fp)
+        for _ in range(_MAX_KICKS):
+            slot = int(self._rng.integers(self.slots))
+            cur, self.table[idx][slot] = self.table[idx][slot], cur
+            idx = int(
+                self._index2(np.array([idx], dtype=np.int64), np.array([cur]))[0]
+            )
+            row = self.table[idx]
+            free = np.nonzero(row == _EMPTY)[0]
+            if free.size:
+                row[free[0]] = cur
+                self.count += 1
+                return True
+        raise RuntimeError(
+            f"cuckoo filter over capacity ({self.count}/{self.n_buckets * self.slots})"
+        )
+
+    # -- batched API ------------------------------------------------------
+    def seen_or_add(self, keys: np.ndarray) -> np.ndarray:
+        """For each uint64 key: True if already present, else add and False.
+        Sequential within the batch → first-seen-wins inside one batch too."""
+        keys = keys.astype(np.uint64, copy=False)
+        fp = self._fingerprint(keys)
+        i1 = self._index1(keys)
+        i2 = self._index2(i1, fp)
+        out = np.zeros(len(keys), dtype=bool)
+        for k in range(len(keys)):
+            if self._contains_one(i1[k], i2[k], fp[k]):
+                out[k] = True
+            else:
+                self._insert_one(int(i1[k]), int(i2[k]), int(fp[k]))
+        return out
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        keys = keys.astype(np.uint64, copy=False)
+        fp = self._fingerprint(keys)
+        i1 = self._index1(keys)
+        i2 = self._index2(i1, fp)
+        return np.array(
+            [self._contains_one(i1[k], i2[k], fp[k]) for k in range(len(keys))],
+            dtype=bool,
+        )
+
+    def delete(self, keys: np.ndarray) -> int:
+        """Remove keys (cancel semantics, frontier.py:85-88). Returns #removed."""
+        keys = keys.astype(np.uint64, copy=False)
+        fp = self._fingerprint(keys)
+        i1 = self._index1(keys)
+        i2 = self._index2(i1, fp)
+        removed = 0
+        for k in range(len(keys)):
+            done = False
+            for idx in (int(i1[k]), int(i2[k])):
+                row = self.table[idx]
+                hit = np.nonzero(row == fp[k])[0]
+                if hit.size:
+                    row[hit[0]] = _EMPTY
+                    self.count -= 1
+                    removed += 1
+                    done = True
+                    break
+            if done:
+                continue
+        return removed
+
+    # -- checkpoint -------------------------------------------------------
+    def serialize(self) -> dict:
+        return {
+            "n_buckets": self.n_buckets,
+            "slots": self.slots,
+            "count": self.count,
+            "table": self.table.tobytes(),
+        }
+
+    @classmethod
+    def restore(cls, blob: dict) -> "CuckooFilter":
+        self = cls(blob["n_buckets"], blob["slots"])
+        self.table = np.frombuffer(blob["table"], dtype=np.uint16).reshape(
+            blob["n_buckets"], blob["slots"]
+        ).copy()
+        self.count = blob["count"]
+        return self
+
+
+def key64(url_hash20: bytes) -> int:
+    """uint64 routing/filter key from the 20-byte SHA-1 url hash."""
+    return int.from_bytes(url_hash20[:8], "big")
+
+
+@ray.remote(num_cpus=0.25)
+class CuckooShard:
+    """One URL-seen shard. Keys arriving here are already routed by
+    ``key % n_shards`` so the filter sees a uniform slice of the keyspace."""
+
+    def __init__(self, n_buckets: int = 1 << 14, blob: dict | None = None):
+        self.filter = (
+            CuckooFilter.restore(blob) if blob is not None else CuckooFilter(n_buckets)
+        )
+
+    def seen_or_add(self, keys: np.ndarray) -> np.ndarray:
+        return self.filter.seen_or_add(keys)
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        return self.filter.contains(keys)
+
+    def delete(self, keys: np.ndarray) -> int:
+        return self.filter.delete(keys)
+
+    def serialize(self) -> dict:
+        return self.filter.serialize()
+
+    def count(self) -> int:
+        return self.filter.count
+
+
+class ShardedSeen:
+    """Driver-side facade over the shard actor pool. All calls are batched:
+    one RPC per shard per round-step regardless of URL count."""
+
+    def __init__(self, n_shards: int = 4, n_buckets: int = 1 << 14,
+                 blobs: list[dict] | None = None):
+        self.n_shards = n_shards
+        if blobs is not None:
+            assert len(blobs) == n_shards
+            self.shards = [CuckooShard.remote(blob=b) for b in blobs]
+        else:
+            self.shards = [CuckooShard.remote(n_buckets=n_buckets) for _ in range(n_shards)]
+
+    def _route(self, keys: np.ndarray) -> np.ndarray:
+        return (keys % np.uint64(self.n_shards)).astype(np.int64)
+
+    def _scatter_gather(self, method: str, keys: np.ndarray):
+        keys = keys.astype(np.uint64, copy=False)
+        shard_of = self._route(keys)
+        refs, order = [], []
+        for s in range(self.n_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if idx.size:
+                refs.append(getattr(self.shards[s], method).remote(keys[idx]))
+                order.append(idx)
+        outs = ray.get(refs)
+        if method == "delete":
+            return sum(outs)
+        result = np.zeros(len(keys), dtype=bool)
+        for idx, out in zip(order, outs):
+            result[idx] = out
+        return result
+
+    def seen_or_add(self, keys: np.ndarray) -> np.ndarray:
+        return self._scatter_gather("seen_or_add", keys)
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        return self._scatter_gather("contains", keys)
+
+    def delete(self, keys: np.ndarray) -> int:
+        return self._scatter_gather("delete", keys)
+
+    def serialize(self) -> list[dict]:
+        return ray.get([s.serialize.remote() for s in self.shards])
+
+    def count(self) -> int:
+        return sum(ray.get([s.count.remote() for s in self.shards]))
