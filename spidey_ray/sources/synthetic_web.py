@@ -125,6 +125,18 @@ def _generic_links(cfg: WebConfig, host_i: int, page_j: int) -> list[str]:
     return links
 
 
+def make_fetch_fn(**cfg_kwargs):
+    """Factory for the FetchFn used by host-shard actors (importable by
+    module+name so actor construction ships no closures)."""
+    cfg = WebConfig(**cfg_kwargs)
+
+    def fetch_fn(url: str) -> tuple[str, int, str]:
+        p = fetch(cfg, url)
+        return p.final_url, p.status, p.content
+
+    return fetch_fn
+
+
 def robots_txt(cfg: WebConfig, host_i: int) -> str | None:
     """robots.txt body for a host, or None (404 → allow all, scraper.py:58-59)."""
     feat = host_i % 16

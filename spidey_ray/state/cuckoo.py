@@ -43,13 +43,26 @@ class CuckooFilter:
         self._rng = np.random.default_rng(0xC0FFEE)  # deterministic evictions
 
     # -- hashing ----------------------------------------------------------
+    @staticmethod
+    def _mix(key: np.ndarray) -> np.ndarray:
+        """splitmix64 finalizer: decorrelates fingerprint/index bits even for
+        small or sequential keys (url-hash keys are already uniform, but the
+        filter should not depend on that)."""
+        with np.errstate(over="ignore"):
+            k = key.astype(np.uint64, copy=True)
+            k ^= k >> np.uint64(30)
+            k *= np.uint64(0xBF58476D1CE4E5B9)
+            k ^= k >> np.uint64(27)
+            k *= np.uint64(0x94D049BB133111EB)
+            k ^= k >> np.uint64(31)
+        return k
+
     def _fingerprint(self, key: np.ndarray) -> np.ndarray:
-        fp = ((key >> np.uint64(48)) ^ (key >> np.uint64(32))).astype(np.uint64)
-        fp = (fp & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = (self._mix(key) >> np.uint64(48)).astype(np.uint16)
         return np.where(fp == 0, np.uint16(1), fp)  # 0 is the empty sentinel
 
     def _index1(self, key: np.ndarray) -> np.ndarray:
-        return (key & np.uint64(self.n_buckets - 1)).astype(np.int64)
+        return (self._mix(key) & np.uint64(self.n_buckets - 1)).astype(np.int64)
 
     def _index2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
         # partial-key cuckoo: i2 = i1 xor H(fp)

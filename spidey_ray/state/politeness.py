@@ -242,8 +242,12 @@ class HostShard:
         return out
 
     def count_urls(self, counts: dict[str, int]) -> None:
+        # countUrl ignores hosts unknown to subdomain state (scraper.py:116-119);
+        # robots_processed marks "exists in the reference's subdomainInfo"
         for host, n in counts.items():
-            self._get(host).n_urls += n
+            s = self.hosts.get(host)
+            if s is not None and s.robots_processed:
+                s.n_urls += n
 
     def snapshot(self) -> dict:
         return {

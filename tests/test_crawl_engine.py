@@ -1,0 +1,158 @@
+"""Engine-vs-oracle conformance (SURVEY.md §5.1, north_rule invariants):
+crawl order, final URL-seen set, span sequences, blacklist, metrics,
+checkpoint/resume.  The serial oracle pins the canonical semantics; the
+distributed engine must reproduce them bit-for-bit."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from spidey_ray.sources.synthetic_web import WebConfig
+from spidey_ray.state.cuckoo import CuckooFilter
+from spidey_ray.state.politeness import admit_round
+
+
+@pytest.fixture(scope="module")
+def small_web():
+    return WebConfig()  # 8 hosts × 12 pages, every feature present
+
+
+@pytest.fixture(scope="module")
+def oracle_result(small_web):
+    from spidey_ray.pipelines.oracle import crawl_serial
+
+    return crawl_serial(small_web)
+
+
+@pytest.fixture(scope="module")
+def engine_result(ray_session, small_web, tmp_path_factory):
+    from spidey_ray.pipelines.crawl import CrawlEngine
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    return CrawlEngine(small_web, ckpt_dir=ckpt).run()
+
+
+class TestEngineMatchesOracle:
+    def test_crawl_order(self, engine_result, oracle_result):
+        assert engine_result.fetch_log == oracle_result.fetch_log
+
+    def test_url_seen_set(self, engine_result, oracle_result):
+        assert engine_result.seen_hashes == oracle_result.seen_hashes
+
+    def test_unique_count(self, engine_result, oracle_result):
+        assert engine_result.gate.unique_url_count == oracle_result.gate.unique_url_count
+
+    def test_host_counts(self, engine_result, oracle_result):
+        oc = {h: s.n_urls for h, s in oracle_result.hosts.items()
+              if s.robots_processed}
+        assert engine_result.host_counts() == oc
+
+    def test_blacklists(self, engine_result, oracle_result):
+        assert dict(engine_result.blacklist.permanent) == dict(
+            oracle_result.blacklist.permanent)
+        assert engine_result.blacklist.temp == oracle_result.blacklist.temp
+
+    def test_token_counts(self, engine_result, oracle_result):
+        assert engine_result.token_counts == oracle_result.token_counts
+
+    def test_longest_pages(self, engine_result, oracle_result):
+        assert [tuple(x) for x in engine_result.longest] == oracle_result.longest
+
+    def test_span_sequence_equality(self, engine_result, oracle_result):
+        """Per-row invariant: span-sequence equality on
+        (kind, text, media_ref, order) — BASELINE.json input_hint."""
+        docs = engine_result.documents()
+        assert docs is not None
+        got = {d: s for d, s in zip(docs["doc_id"].to_pylist(),
+                                    docs["spans"].to_pylist())}
+        assert set(got) == set(oracle_result.documents)
+        for doc_id, spans in got.items():
+            assert spans == oracle_result.documents[doc_id], doc_id
+
+    def test_trap_and_query_features_exercised(self, oracle_result):
+        # the fixture web must actually exercise the interesting paths
+        reasons = set(oracle_result.blacklist.permanent.values())
+        assert "repeating path trap" in reasons
+        assert "low info value" in reasons
+        assert any("list" in p for p in oracle_result.blacklist.temp)
+
+
+class TestResume:
+    def test_resume_from_checkpoint_identical(self, ray_session, small_web, tmp_path):
+        from spidey_ray.pipelines.crawl import CrawlEngine
+        from spidey_ray.pipelines.oracle import crawl_serial
+
+        ckpt = str(tmp_path / "ckpt")
+        # run only rounds 0..2, as if the job was killed
+        partial = CrawlEngine(small_web, ckpt_dir=ckpt).run(stop_after_round=2)
+        assert partial.rounds == 3
+        # resume from the checkpoint and finish
+        resumed = CrawlEngine.resume(ckpt, small_web).run()
+        oracle = crawl_serial(small_web)
+        assert resumed.fetch_log == oracle.fetch_log
+        assert resumed.seen_hashes == oracle.seen_hashes
+        assert resumed.token_counts == oracle.token_counts
+        assert dict(resumed.blacklist.permanent) == dict(oracle.blacklist.permanent)
+        docs = resumed.documents()
+        got = {d: s for d, s in zip(docs["doc_id"].to_pylist(),
+                                    docs["spans"].to_pylist())}
+        assert set(got) == set(oracle.documents)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+class TestCuckoo:
+    def test_seen_or_add_first_seen_wins(self):
+        f = CuckooFilter(1 << 10)
+        keys = np.array([1, 2, 1, 3, 2], dtype=np.uint64)
+        assert f.seen_or_add(keys).tolist() == [False, False, True, False, True]
+
+    def test_delete_allows_readd(self):
+        # cancel semantics: frontier.py:80-92 deletes so URLs can be re-added
+        f = CuckooFilter(1 << 10)
+        keys = np.array([42], dtype=np.uint64)
+        f.seen_or_add(keys)
+        assert f.contains(keys).tolist() == [True]
+        assert f.delete(keys) == 1
+        assert f.contains(keys).tolist() == [False]
+        assert f.seen_or_add(keys).tolist() == [False]
+
+    def test_serialize_roundtrip(self):
+        f = CuckooFilter(1 << 10)
+        keys = np.arange(500, dtype=np.uint64)
+        f.seen_or_add(keys)
+        g = CuckooFilter.restore(f.serialize())
+        assert g.contains(keys).all()
+        assert g.count == f.count
+
+    def test_no_false_positives_at_test_scale(self):
+        f = CuckooFilter(1 << 14)
+        present = np.arange(10_000, dtype=np.uint64)
+        absent = np.arange(10_000, 20_000, dtype=np.uint64)
+        f.seen_or_add(present)
+        assert f.contains(present).all()
+        # cuckoo filters admit rare false positives; at this fill they must
+        # be (nearly) absent for oracle-equality tests to be meaningful
+        assert f.contains(absent).sum() < 5
+
+
+class TestAdmission:
+    def test_politeness_budget_per_round(self):
+        # W=1.0, delay=0.5 → 2 fetches per host per round
+        cands = [(f"u{i}", "h") for i in range(5)]
+        admitted, clocks = admit_round(cands, {}, {"h": 0.5}, 0, 1.0)
+        assert admitted == [0, 1]
+        assert clocks["h"] == 1.0
+        # next round: two more
+        admitted2, clocks = admit_round(cands[2:], clocks, {"h": 0.5}, 1, 1.0)
+        assert admitted2 == [0, 1]
+
+    def test_crawl_delay_respected(self):
+        cands = [(f"u{i}", "h") for i in range(5)]
+        admitted, _ = admit_round(cands, {}, {"h": 2.0}, 0, 1.0)
+        assert admitted == [0]  # delay 2.0 > window → one fetch
+
+    def test_hosts_independent(self):
+        cands = [("a1", "a"), ("b1", "b"), ("a2", "a"), ("b2", "b")]
+        admitted, _ = admit_round(cands, {}, {"a": 0.5, "b": 0.5}, 0, 1.0)
+        assert admitted == [0, 1, 2, 3]

@@ -1,0 +1,230 @@
+"""Unit tests for the pure function library (SURVEY.md §5.2)."""
+
+import numpy as np
+import pytest
+
+from spidey_ray.functions import porter, simhash as sh, tokenize, urltools
+from spidey_ray.functions.htmlspans import parse_document
+from spidey_ray.state.robots import RobotsRules
+
+
+class TestUrlTools:
+    def test_normalize_strips_single_trailing_slash(self):
+        # utils/__init__.py:32-35
+        assert urltools.normalize("https://a.example.com/x/") == "https://a.example.com/x"
+        assert urltools.normalize("https://a.example.com/x") == "https://a.example.com/x"
+        # rstrip removes ALL trailing slashes (reference uses rstrip)
+        assert urltools.normalize("https://a.example.com/x//") == "https://a.example.com/x"
+
+    def test_url_hash_scheme_insensitive(self):
+        # canonical identity excludes scheme (utils/__init__.py:25-30)
+        assert urltools.url_hash("http://a.example.com/p") == urltools.url_hash(
+            "https://a.example.com/p")
+        assert urltools.url_hash("https://a.example.com/p") != urltools.url_hash(
+            "https://a.example.com/q")
+        assert len(urltools.url_hash("https://a.example.com")) == 20
+
+    def test_sort_by_query(self):
+        # scraper.py:496-510: only sorts with >= 2 params
+        assert urltools.sort_by_query("https://h.example.com/p?b=2&a=1") == \
+            "https://h.example.com/p?a=1&b=2"
+        assert urltools.sort_by_query("https://h.example.com/p?b=2") == \
+            "https://h.example.com/p?b=2"
+
+    def test_is_valid(self):
+        assert urltools.is_valid("https://h1.example.com/page")
+        assert not urltools.is_valid("ftp://h1.example.com/page")
+        assert not urltools.is_valid("https://outside.net/page")
+        # 60-extension denylist (scraper.py:133-140)
+        assert not urltools.is_valid("https://h1.example.com/img/photo.jpg")
+        assert not urltools.is_valid("https://h1.example.com/a.pdf")
+        assert urltools.is_valid("https://h1.example.com/a.html")
+
+    def test_absolute_url_defrags(self):
+        # scraper.py:396-400
+        assert urltools.absolute_url("https://h.example.com/a/b", "../c#frag") == \
+            "https://h.example.com/c"
+
+    def test_trap_patterns(self):
+        # scraper.py:581-609: repeated path segment beyond threshold
+        trapped, perm, temps = urltools.trap_patterns(
+            "https://h.example.com/t/zig/zag/zig/zag/zig/zag/zig", threshold=3)
+        assert trapped
+        assert perm == "^https://h\\.example\\.com/t.*$"
+        assert any("zig" in t for t in temps)
+        trapped, _, _ = urltools.trap_patterns(
+            "https://h.example.com/t/zig/zag/zig", threshold=3)
+        assert not trapped
+
+
+class TestTokenize:
+    def test_index_tokenizer_positions(self):
+        # HTMLParser.py:19-27: positions advance by len+1
+        toks = list(tokenize.tokenize("Hello big-World"))
+        assert toks == [("hello", 0), ("big", 6), ("world", 10)]
+
+    def test_contraction_expansion_splits(self):
+        toks = [t for t, _ in tokenize.tokenize("don't stop")]
+        assert toks == ["do", "not", "stop"]
+
+    def test_bigrams(self):
+        bi = list(tokenize.bigram_tokenize(tokenize.tokenize("a b c")))
+        assert bi == [("a b", 0), ("b c", 2)]
+
+    def test_stem_dict_merges_and_sorts(self):
+        # HTMLParser.py:46-68
+        d = tokenize.tokens_to_stem_dict([("running", 5), ("runs", 1)])
+        assert d == {"run": [1, 5]}
+
+    def test_crawl_tokenizer_stopwords(self):
+        # scraper.py:264-272: [a-zA-Z'-]{2,}, stopword removal
+        toks = tokenize.crawl_tokenize("The quick-fox and a dog x")
+        assert toks == ["quick-fox", "dog"]
+
+
+class TestPorter:
+    @pytest.mark.parametrize("word,stem", [
+        ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+        ("caress", "caress"), ("cats", "cat"), ("feed", "feed"),
+        ("agreed", "agre"), ("plastered", "plaster"), ("bled", "bled"),
+        ("motoring", "motor"), ("sing", "sing"), ("conflated", "conflat"),
+        ("troubled", "troubl"), ("sized", "size"), ("hopping", "hop"),
+        ("tanned", "tan"), ("falling", "fall"), ("hissing", "hiss"),
+        ("fizzed", "fizz"), ("failing", "fail"), ("filing", "file"),
+        ("happy", "happi"), ("sky", "sky"), ("relational", "relat"),
+        ("conditional", "condit"), ("rational", "ration"),
+        ("valenci", "valenc"), ("hesitanci", "hesit"),
+        ("digitizer", "digit"), ("conformabli", "conform"),
+        ("radicalli", "radic"), ("differentli", "differ"),
+        ("vileli", "vile"), ("analogousli", "analog"),
+        ("vietnamization", "vietnam"), ("predication", "predic"),
+        ("operator", "oper"), ("feudalism", "feudal"),
+        ("decisiveness", "decis"), ("hopefulness", "hope"),
+        ("callousness", "callous"), ("formaliti", "formal"),
+        ("sensitiviti", "sensit"), ("sensibiliti", "sensibl"),
+        ("triplicate", "triplic"), ("formative", "form"),
+        ("formalize", "formal"), ("electriciti", "electr"),
+        ("electrical", "electr"), ("hopeful", "hope"),
+        ("goodness", "good"), ("revival", "reviv"),
+        ("allowance", "allow"), ("inference", "infer"),
+        ("airliner", "airlin"), ("gyroscopic", "gyroscop"),
+        ("adjustable", "adjust"), ("defensible", "defens"),
+        ("irritant", "irrit"), ("replacement", "replac"),
+        ("adjustment", "adjust"), ("dependent", "depend"),
+        ("adoption", "adopt"), ("homologou", "homolog"),
+        ("communism", "commun"), ("activate", "activ"),
+        ("angulariti", "angular"), ("homologous", "homolog"),
+        ("effective", "effect"), ("bowdlerize", "bowdler"),
+        ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+        ("controll", "control"), ("roll", "roll"),
+    ])
+    def test_porter_examples(self, word, stem):
+        # the example vocabulary from Porter (1980), §"The Algorithm"
+        assert porter.stem(word) == stem
+
+
+class TestSimhash:
+    def test_deterministic_across_calls(self):
+        h1 = sh.simhash64({"foo": 3, "bar": 1})
+        h2 = sh.simhash64({"bar": 1, "foo": 3})
+        assert h1 == h2
+
+    def test_similarity_bounds(self):
+        h = sh.simhash64({"foo": 1})
+        assert sh.bit_similarity(h, h) == 1.0
+        assert 0.0 <= sh.bit_similarity(h, ~h & ((1 << 64) - 1)) <= 1.0
+
+    def test_popcount_vectorized(self):
+        xs = np.array([0, 1, 3, (1 << 64) - 1], dtype=np.uint64)
+        assert sh.hamming_popcount(xs).tolist() == [0, 1, 2, 64]
+
+    def test_footprints_similar_thresholds(self):
+        # strict > comparison (scraper.py:465)
+        h = sh.simhash64({"a": 1})
+        assert not sh.footprints_similar(h, 100, h, 100, 1.0, 0.5)  # 1.0 not > 1.0
+        assert sh.footprints_similar(h, 100, h, 100, 0.99, 0.99)
+
+
+class TestRobots:
+    def test_allow_over_disallow(self):
+        # robotparser.py:270-281: Allow wins within an entry
+        r = RobotsRules.parse("User-agent: *\nDisallow: /private\nAllow: /private/ok\n")
+        assert not r.can_fetch("x", "https://h.example.com/private/secret")
+        assert r.can_fetch("x", "https://h.example.com/private/ok/info")
+
+    def test_wildcard_paths(self):
+        # robotparser.py:228-230: '*' in rule paths
+        r = RobotsRules.parse("User-agent: *\nDisallow: /a/*/c\n")
+        assert not r.can_fetch("x", "https://h.example.com/a/b/c")
+        assert r.can_fetch("x", "https://h.example.com/a/b")
+
+    def test_crawl_delay_and_sitemaps(self):
+        r = RobotsRules.parse(
+            "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n"
+            "Sitemap: https://h.example.com/sitemap.txt\n")
+        assert r.crawl_delay("any") == 2.5
+        assert r.site_maps() == ["https://h.example.com/sitemap.txt"]
+
+    def test_empty_disallow_allows_all(self):
+        r = RobotsRules.parse("User-agent: *\nDisallow:\n")
+        assert r.can_fetch("x", "https://h.example.com/anything")
+
+    def test_specific_agent_precedence(self):
+        r = RobotsRules.parse(
+            "User-agent: spidey\nDisallow: /\n\nUser-agent: *\nAllow: /\n")
+        assert not r.can_fetch("spidey-ray/1.0", "https://h.example.com/a")
+        assert r.can_fetch("other", "https://h.example.com/a")
+
+    def test_missing_robots_allows(self):
+        from spidey_ray.state.politeness import CrawlSettings, HostState
+
+        hs = HostState(host="h.example.com")
+        assert hs.can_fetch("https://h.example.com/x", CrawlSettings())
+
+
+class TestSpanParser:
+    def test_basic_spans_order(self):
+        html = ("<html><head><title>My Title</title></head><body>"
+                "<h1>Head</h1><p>Text one</p><a href='/b'>Link text</a>"
+                "<img src='/i.png' alt='pic'></body></html>")
+        doc = parse_document(html, "https://h.example.com/a")
+        assert doc.title == "My Title"
+        kinds = [(s.kind, s.text) for s in doc.spans]
+        assert kinds == [
+            ("h1", "Head"), ("p", "Text one"), ("a", "Link text"),
+            ("link", "Link text"), ("media", "pic"),
+        ]
+        assert doc.spans[3].media_ref == "https://h.example.com/b"
+        assert doc.spans[4].media_ref == "https://h.example.com/i.png"
+
+    def test_excluded_parents_and_comments(self):
+        # HTMLParser.py:90: style/script/head/title/meta excluded; comments skipped
+        html = ("<html><head><style>p{}</style><script>x()</script></head>"
+                "<body><!-- comment --><p>Keep</p></body></html>")
+        doc = parse_document(html, "https://h.example.com/a")
+        assert [(s.kind, s.text) for s in doc.spans] == [("p", "Keep")]
+
+    def test_non_html_fallback(self):
+        # HTMLParser.py:96-98: [[None, content]] → kind ''
+        doc = parse_document("plain words here", "https://h.example.com/notes.txt")
+        assert not doc.is_html
+        assert doc.title == "notes.txt"
+        assert len(doc.spans) == 1 and doc.spans[0].kind == ""
+
+    def test_title_fallback_is_path_basename(self):
+        doc = parse_document("<html><body><p>x</p></body></html>",
+                             "https://h.example.com/dir/page.html")
+        assert doc.title == "page.html"
+
+    def test_offsets_are_tokenized_running_lengths(self):
+        # Filter.py:83-88 accumulator: each span advances by sum(len(tok)+1)
+        html = "<html><body><p>ab cd</p><p>efg</p></body></html>"
+        doc = parse_document(html, "https://h.example.com/a")
+        assert doc.spans[0].offset == 0
+        assert doc.spans[1].offset == 6  # "ab " + "cd " = 6 chars
+
+    def test_sitemap_loc(self):
+        xml = "<?xml version='1.0'?><urlset><url><loc>https://h.example.com/p/1</loc></url></urlset>"
+        doc = parse_document(xml, "https://h.example.com/sitemap.xml")
+        assert doc.is_sitemap
+        assert doc.links == ["https://h.example.com/p/1"]
