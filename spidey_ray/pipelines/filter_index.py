@@ -1,0 +1,142 @@
+"""Filter + indexer pipeline: documents table → doc_meta + postings tables.
+
+The reference runs two sequential full passes with an in-memory spill dict
+and a k-way file merge (backend/IndexerMain.py:38-47, Indexer.py:228-306);
+here the entire thing is three Ray Data stages and one groupby shuffle — the
+shuffle IS the k-way merge (SURVEY.md §2.1 S7/S8):
+
+1. ``filter_prepare_batch``: compact per-doc features (40 bytes/doc — spans
+   never enter the dedup shuffle),
+2. exact dedup by doc_id + bucketed simhash near-dup
+   (``groupby(len_bucket).map_groups``) with first-in-crawl-order-wins
+   (Filter.py:49-51, 94-110),
+3. doc-number assignment by crawl order (the reference's
+   enumeration-order doc ids, Indexer.py:96; SURVEY.md §2.9) — a rank over
+   crawl_seq; driver-side here, a prefix-sum over sorted block counts at
+   cluster scale,
+4. ``emit_postings_batch`` + ``groupby(stem, is_bigram).map_groups`` for
+   df/tf-idf/per-stem ordering — replacing offload files, k-way merge and
+   the post-index scoring rewrite (Indexer.py:142-173).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .. import io as sio
+from ..stages.index_stages import (
+    doc_extents,
+    doc_token_stream,
+    emit_postings_batch,
+    filter_prepare_batch,
+    near_dup_group,
+    score_stem_group,
+)
+
+DOC_META_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("title", pa.string()),
+        ("url", pa.string()),
+        ("n_tokens", pa.int64()),
+        ("tag_extents", pa.list_(pa.struct(
+            [("tag", pa.string()), ("start", pa.int32()), ("end", pa.int32())]))),
+    ]
+)
+
+
+@dataclass
+class FilterIndexResult:
+    doc_meta_path: str
+    postings_path: str
+    num_documents: int
+
+
+def _doc_meta_batch(batch: pa.Table, doc_num: dict) -> pa.Table:
+    out = {n: [] for n in DOC_META_SCHEMA.names}
+    for url, title, spans in zip(
+        batch["doc_id"].to_pylist(), batch["title"].to_pylist(),
+        batch["spans"].to_pylist(),
+    ):
+        if url not in doc_num:
+            continue
+        stream = doc_token_stream(spans)
+        extents = doc_extents(spans)
+        out["doc_id"].append(doc_num[url])
+        out["title"].append(title)
+        out["url"].append(url)
+        out["n_tokens"].append(len(stream))
+        out["tag_extents"].append(
+            [{"tag": t, "start": e[0], "end": e[1]}
+             for t in extents for e in extents[t]]
+        )
+    return pa.Table.from_pydict(out, schema=DOC_META_SCHEMA)
+
+
+def _postings_input_batch(batch: pa.Table, doc_num: dict) -> pa.Table:
+    mask = pa.array([u in doc_num for u in batch["doc_id"].to_pylist()])
+    t = batch.filter(mask)
+    nums = pa.array([doc_num[u] for u in t["doc_id"].to_pylist()], type=pa.int64())
+    return t.append_column("doc_num", nums)
+
+
+def run_filter_index(
+    documents: "ray.data.Dataset",
+    out_dir: str,
+    bucket_size: int = 100,
+    dup_threshold: float = 0.975,
+) -> FilterIndexResult:
+    """documents(doc_id, spans, title, crawl_seq) → doc_meta + postings."""
+    docs = documents
+
+    # 1-2. features + exact dedup (first crawl wins) + bucketed near-dup
+    feats = docs.map_batches(
+        filter_prepare_batch, fn_kwargs={"bucket_size": bucket_size},
+        batch_format="pyarrow",
+    )
+    survivors = (
+        feats
+        .groupby("doc_id")
+        .map_groups(
+            lambda g: g.sort_values("crawl_seq", kind="mergesort").head(1),
+            batch_format="pandas",
+        )
+        .groupby("len_bucket")
+        .map_groups(
+            lambda g: near_dup_group(g, dup_threshold), batch_format="pandas",
+        )
+        .select_columns(["doc_id", "crawl_seq"])
+        .to_pandas()
+    )
+
+    # 3. doc-number assignment by crawl order (reference doc-id semantics)
+    survivors = survivors.sort_values("crawl_seq", kind="mergesort")
+    doc_num = {u: i for i, u in enumerate(survivors["doc_id"])}
+    n_docs = len(doc_num)
+
+    # 4a. doc_meta
+    doc_meta = docs.map_batches(
+        _doc_meta_batch, fn_kwargs={"doc_num": doc_num}, batch_format="pyarrow")
+    meta_path = os.path.join(out_dir, "doc_meta")
+    sio.write_table(doc_meta, meta_path)
+
+    # 4b. postings: emit + df/tf-idf/per-stem order in one shuffle
+    postings = (
+        docs
+        .map_batches(_postings_input_batch, fn_kwargs={"doc_num": doc_num},
+                     batch_format="pyarrow")
+        .map_batches(emit_postings_batch, batch_format="pyarrow")
+        .groupby(["stem", "is_bigram"])
+        .map_groups(
+            lambda g: score_stem_group(g, n_docs), batch_format="pyarrow",
+        )
+    )
+    postings_path = os.path.join(out_dir, "postings")
+    sio.write_table(postings, postings_path)
+
+    return FilterIndexResult(meta_path, postings_path, n_docs)

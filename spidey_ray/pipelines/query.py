@@ -1,0 +1,210 @@
+"""Query serving over the postings + doc_meta tables.
+
+Faithful re-expression of backend/Query.py: AND-boolean retrieval with
+adaptive cutoffs (Query.py:144-171), bigram boost (:173-190), cosine-style
+rescoring (:220-248), union-of-subqueries rounds (:307-359), top-10.
+
+The reference serves from seek-offsets into a text file (Query.py:56-116);
+here the index is columnar: postings load into an in-memory stem → list map
+(one serving-actor's worth of state — SURVEY.md §2.3 T7).  At cluster scale
+the same table serves via predicate-pushdown scans on ``stem``; the serving
+data structure is the only swap.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import pyarrow as pa
+
+from ..functions import porter
+from ..functions.tokenize import (
+    QUERY_STOPWORDS,
+    bigram_tokenize,
+    stem_bigram,
+    tokenize,
+)
+
+
+class QueryIndex:
+    NUM_RESULTS = 10       # Query.py:25
+    MIN_LENGTH = 2         # Query.py:32
+
+    def __init__(self, postings: pa.Table, doc_meta: pa.Table, num_documents: int):
+        # stem -> [[doc_id, positions, tfidf], ...] preserving table order
+        # (unigram: tfidf desc; bigram: doc order — Indexer.py:166-168)
+        self.index: dict[bool, dict[str, list]] = {False: {}, True: {}}
+        for stem, doc_id, positions, tfidf, is_bigram in zip(
+            postings["stem"].to_pylist(), postings["doc_id"].to_pylist(),
+            postings["positions"].to_pylist(), postings["tfidf"].to_pylist(),
+            postings["is_bigram"].to_pylist(),
+        ):
+            self.index[is_bigram].setdefault(stem, []).append(
+                [doc_id, positions, tfidf])
+        # docInfo list indexed by doc_id (Query.py:27-30)
+        meta = sorted(
+            zip(doc_meta["doc_id"].to_pylist(), doc_meta["title"].to_pylist(),
+                doc_meta["url"].to_pylist(), doc_meta["n_tokens"].to_pylist())
+        )
+        self.doc_info = [[t, u, n] for (_d, t, u, n) in meta]
+        self.num_documents = num_documents
+        self.stopwords = QUERY_STOPWORDS
+
+    # -- tokenization (Query.py:42-54) ---------------------------------
+    def tokenize_stop(self, text: str) -> list[str]:
+        tokens = [t for t, _ in tokenize(text.strip())]
+        return [t for t in tokens
+                if t not in self.stopwords and len(t) >= self.MIN_LENGTH]
+
+    def tokenize_bigram_stop(self, text: str) -> list[str]:
+        def passcond(t: str) -> bool:
+            a, b = t.split()
+            return not (a in self.stopwords or b in self.stopwords)
+
+        tokens = [t for t, _ in bigram_tokenize(tokenize(text.strip()))]
+        return [t for t in tokens if passcond(t)]
+
+    # -- retrieval ------------------------------------------------------
+    def _doc_info_retrieve(self, text: str, use_bigram: bool) -> dict[str, list]:
+        if use_bigram:
+            words = self.tokenize_bigram_stop(text)
+            stem_fn = stem_bigram
+            table = self.index[True]
+        else:
+            words = self.tokenize_stop(text)
+            stem_fn = porter.stem
+            table = self.index[False]
+        out: dict[str, list] = {}
+        for w in words:
+            s = stem_fn(w)
+            out[s] = table.get(s, [])
+        return out
+
+    @staticmethod
+    def _intersect(lst1: list, lst2: list) -> list:
+        """Sum-scores intersection, result sorted by score asc (Query.py:192-215)."""
+        d1 = {x[0]: x[1] for x in lst1}
+        d2 = {x[0]: x[1] for x in lst2}
+        common = set(d1) & set(d2)
+        out = [[i, d1.get(i, 0) + d2.get(i, 0)] for i in common]
+        out.sort(key=lambda x: x[1])
+        return out
+
+    def _and_boolean(self, info: dict[str, list]) -> list:
+        """Adaptive cutoff 100→1600 doubling until >= 10 results (Query.py:144-171)."""
+        if not info:
+            return []
+        items = list(info.items())
+        cutoff, max_cutoff = 100, 1600
+        while True:
+            docs = [[p[0], p[2]] for p in items[0][1][:cutoff]]
+            for _stem, plist in items[1:]:
+                docs = self._intersect(docs, [[p[0], p[2]] for p in plist[:cutoff]])
+            if cutoff >= max_cutoff:
+                break
+            if len(docs) < self.NUM_RESULTS:
+                cutoff *= 2
+                continue
+            break
+        return list(docs)
+
+    def _bigram_scoring(self, docs: list, query_text: str) -> None:
+        """Add bigram tf-idf to docs that also match a bigram (Query.py:173-190)."""
+        prev_ids = set(x[0] for x in docs)
+        cutoff = 999
+        info = self._doc_info_retrieve(query_text, use_bigram=True)
+        for _stem, plist in info.items():
+            bg = [[p[0], p[2]] for p in plist[:cutoff]]
+            bg_map = {x[0]: x[1] for x in bg}
+            bg_ids = set(bg_map) & prev_ids
+            for doc in docs:
+                if doc[0] in bg_ids:
+                    doc[1] += bg_map[doc[0]]
+
+    def _tf_idf(self, doc_freq: int, term_freq: int) -> float:
+        tf = 1 + math.log10(term_freq) if term_freq > 0 else 0
+        return tf * math.log10(self.num_documents / doc_freq)
+
+    def _query_freq(self, query_words: list[str], stem: str) -> int:
+        return sum(1 for q in query_words if porter.stem(q) == stem)
+
+    def _cosine_sim(self, query: str, info: dict[str, list], docs: list) -> None:
+        """Query.py:220-248."""
+        scores: dict[int, float] = {}
+        qwords = query.split(" ")
+        for stem, plist in info.items():
+            if not plist:
+                continue
+            df = len(plist)
+            q_freq = self._query_freq(qwords, stem)
+            q_score = self._tf_idf(df, q_freq)
+            for posting in plist:
+                scores[posting[0]] = scores.get(posting[0], 0.0) + q_score * posting[2]
+        for doc_id in list(scores):
+            doc_len = max(math.log10(self.doc_info[doc_id][2]), 1)
+            scores[doc_id] = round(scores[doc_id] / doc_len, 3)
+        for doc in docs:
+            if doc[0] in scores:
+                doc[1] = scores[doc[0]]
+
+    def _results_util(self, text: str, use_bigram: bool) -> list:
+        info = self._doc_info_retrieve(text, use_bigram)
+        res = self._and_boolean(info)
+        if len(info) > 1:
+            if not use_bigram:
+                self._bigram_scoring(res, text)
+            self._cosine_sim(text, info, res)
+        return res
+
+    @staticmethod
+    def _split_query(a: list, n: int) -> list[list]:
+        k, m = divmod(len(a), n)
+        return [a[i * k + min(i, m):(i + 1) * k + min(i + 1, m)] for i in range(n)]
+
+    def _all_stopwords(self, ts: list[str]) -> bool:
+        return all(t in QUERY_STOPWORDS for t in ts)
+
+    def query(self, text: str) -> tuple[list, float]:
+        """→ (top-10 [[doc_id, score]], elapsed ms)  (Query.py:317-365)."""
+        start = time.perf_counter()
+        res: dict[int, float] = {}
+        div = 1
+        ts = text.split()
+
+        all_stop = self._all_stopwords(ts)
+        if all_stop:
+            self.stopwords = frozenset()
+
+        while len(res) < self.NUM_RESULTS and div <= len(ts):
+            subres: dict[int, float] = {}
+            for part in self._split_query(ts, div):
+                for doc_id, score in self._results_util(" ".join(part), all_stop):
+                    subres[doc_id] = subres.get(doc_id, 0) + score
+            for k, v in subres.items():
+                if k not in res:          # first-round-wins (Query.py:345-348)
+                    res[k] = v
+            div *= 2
+
+        if all_stop:
+            self.stopwords = QUERY_STOPWORDS
+
+        ranked = sorted(res.items(), key=lambda x: x[1], reverse=True)
+        ranked = [[d, s] for d, s in ranked[: self.NUM_RESULTS]]
+        return ranked, (time.perf_counter() - start) * 1000.0
+
+    def results_with_info(self, text: str) -> list[list]:
+        """→ [[title, url], ...] top-10 (Query.py:281-282)."""
+        ranked, _ms = self.query(text)
+        return [[self.doc_info[d][0], self.doc_info[d][1]] for d, _ in ranked]
+
+
+def load_query_index(postings_path: str, doc_meta_path: str,
+                     num_documents: int) -> QueryIndex:
+    from .. import io as sio
+
+    return QueryIndex(
+        sio.read_table_arrow(postings_path),
+        sio.read_table_arrow(doc_meta_path),
+        num_documents,
+    )

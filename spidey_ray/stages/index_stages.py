@@ -1,0 +1,237 @@
+"""Filter + indexer stages over the `documents` table (SURVEY.md §2.2 M12-M16,
+§2.5 A6-A9).
+
+Reference pipeline being re-expressed (backend/Filter.py, backend/Indexer.py):
+- per doc: index-tokenize the span texts (positions = the concatenated
+  ``elemText`` running offsets, Filter.py:65-89), build the token-frequency
+  dict, important-tag extent lists for b/strong/h1/h2/h3 (Filter.py:17,79-86),
+- simhash footprint over the freq dict (Filter.py:24-40; stable hash per
+  SURVEY.md §7.5.1) + token-length bucket for near-dup dedup,
+- postings: title stems with negated positions (Indexer.py:75-79) merged with
+  body stems (Indexer.py:85-90, title positions first, body appended, no
+  re-sort), one posting row per (stem, doc); same again for bigrams
+  (Indexer.py:104-140) where bigrams cross span boundaries because the token
+  stream is the concatenated file,
+- weighted term frequency via extent containment (Ranking.py:4-41) is
+  computed AT EMISSION (the doc's extents are in hand) — the reference's
+  later extent join (Indexer.py:188) disappears,
+- tf-idf = round((1+log10(wtf)) * log10(N/df), 4) with df = postings per
+  stem, attached in the groupby('stem') stage (Indexer.py:175-224); unigram
+  postings sorted by tfidf desc within stem, stable (Indexer.py:166-168).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+
+from ..functions import simhash as sh
+from ..functions.tokenize import bigram_tokenize, tokenize, tokens_to_stem_dict
+
+IMPORTANT_TAGS = ("b", "strong", "h1", "h2", "h3")  # Filter.py:17
+TITLE_RANK = 25.0
+TAG_RANK = {"h1": 5.0, "h2": 3.0, "h3": 2.0, "b": 1.2, "strong": 1.2}  # Ranking.py:13-21
+
+
+def doc_token_stream(spans: list[dict]) -> list[tuple[str, int]]:
+    """Flat (token, position) stream over the doc's text spans — identical to
+    re-tokenizing the reference's concatenated .txt file (Indexer.py:56-61)."""
+    out = []
+    for s in spans:
+        if s["kind"] in ("link", "media"):
+            continue
+        for tok, pos in tokenize(s["text"]):
+            out.append((tok, s["offset"] + pos))
+    return out
+
+
+def doc_extents(spans: list[dict]) -> dict[str, list[list[int]]]:
+    """Important-tag extent lists [start, end] (Filter.py:79-86)."""
+    extents: dict[str, list[list[int]]] = {}
+    for s in spans:
+        if s["kind"] not in IMPORTANT_TAGS:
+            continue
+        elem_len = sum(len(t) + 1 for t, _ in tokenize(s["text"]))
+        if elem_len == 0:
+            # reference still records the [offset, offset-1] empty extent
+            extents.setdefault(s["kind"], []).append([s["offset"], s["offset"] - 1])
+        else:
+            extents.setdefault(s["kind"], []).append(
+                [s["offset"], s["offset"] + elem_len - 1])
+    return extents
+
+
+def positions_to_rank(positions: list[int], extents: dict[str, list[list[int]]]) -> float:
+    """Ranking.py:4-41: title 25, h1 5, h2 3, h3 2, b/strong 1.2, else 1.
+    Tag precedence follows the extent-dict iteration order — the reference
+    iterates insertion order of importantTagsExtentLists; we canonicalize to
+    the IMPORTANT_TAGS declaration order."""
+    rank = 0.0
+    for pos in positions:
+        if pos < 0:
+            rank += TITLE_RANK
+            continue
+        hit = False
+        for tag in IMPORTANT_TAGS:
+            if tag in extents and any(e[0] <= pos <= e[1] for e in extents[tag]):
+                rank += TAG_RANK[tag]
+                hit = True
+                break
+        if hit:
+            continue
+        rank += 1.0
+    return rank
+
+
+def doc_stem_positions(
+    title: str, token_stream: list[tuple[str, int]], bigrams: bool
+) -> dict[str, list[int]]:
+    """Merged title+body stem→positions dict (Indexer.py:75-90 / 114-130)."""
+    if bigrams:
+        title_dict = tokens_to_stem_dict(bigram_tokenize(tokenize(title)))
+        body_dict = tokens_to_stem_dict(bigram_tokenize(iter(token_stream)))
+    else:
+        title_dict = tokens_to_stem_dict(tokenize(title))
+        body_dict = tokens_to_stem_dict(token_stream)
+    merged = {s: [-1 * (p + 1) for p in ps] for s, ps in title_dict.items()}
+    for s, ps in body_dict.items():
+        if s in merged:
+            merged[s] = merged[s] + ps
+        else:
+            merged[s] = ps
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# map_batches stages
+# ---------------------------------------------------------------------------
+
+FILTERED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("crawl_seq", pa.int64()),
+        ("title", pa.string()),
+        ("n_tokens", pa.int64()),
+        ("len_bucket", pa.int64()),
+        ("simhash", pa.uint64()),
+    ]
+)
+
+
+def filter_prepare_batch(batch: pa.Table, bucket_size: int = 100) -> pa.Table:
+    """documents rows → compact per-doc filter features (token length, freq
+    simhash, length bucket). Spans stay behind — only ~40 bytes/doc move into
+    the dedup shuffle. Docs with zero tokens are dropped (Filter.py:91-92)."""
+    out = {n: [] for n in FILTERED_SCHEMA.names}
+    for doc_id, crawl_seq, title, spans in zip(
+        batch["doc_id"].to_pylist(), batch["crawl_seq"].to_pylist(),
+        batch["title"].to_pylist(), batch["spans"].to_pylist(),
+    ):
+        stream = doc_token_stream(spans)
+        if not stream:
+            continue
+        freq: dict[str, int] = {}
+        for tok, _ in stream:
+            freq[tok] = freq.get(tok, 0) + 1
+        n = len(stream)
+        out["doc_id"].append(doc_id)
+        out["crawl_seq"].append(crawl_seq)
+        out["title"].append(title)
+        out["n_tokens"].append(n)
+        out["len_bucket"].append(n // bucket_size)
+        out["simhash"].append(sh.simhash64(freq))
+    return pa.Table.from_pydict(out, schema=FILTERED_SCHEMA)
+
+
+def near_dup_group(df, threshold: float = 0.975):
+    """Sequential first-survivor-wins near-dup scan WITHIN one length bucket
+    (Filter.py:94-110; bucket-boundary misses are reference semantics).
+    pandas in / pandas out for groupby().map_groups."""
+    df = df.sort_values("crawl_seq", kind="mergesort")
+    survivors = []
+    keep = []
+    for h, n in zip(df["simhash"], df["n_tokens"]):
+        h, n = int(h), int(n)
+        dup = any(
+            sh.footprints_similar(h, n, h2, n2, threshold, threshold)
+            for h2, n2 in survivors
+        )
+        keep.append(not dup)
+        if not dup:
+            survivors.append((h, n))
+    return df[keep]
+
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("stem", pa.string()),
+        ("doc_id", pa.int64()),
+        ("positions", pa.list_(pa.int32())),
+        ("wtf", pa.float64()),
+        ("is_bigram", pa.bool_()),
+    ]
+)
+
+
+def emit_postings_batch(batch: pa.Table) -> pa.Table:
+    """Surviving docs (with int64 doc_id already assigned) → posting rows for
+    both the unigram and bigram indexes, with the Ranking weight precomputed."""
+    out = {n: [] for n in POSTINGS_SCHEMA.names}
+    for doc_id, title, spans in zip(
+        batch["doc_num"].to_pylist(), batch["title"].to_pylist(),
+        batch["spans"].to_pylist(),
+    ):
+        stream = doc_token_stream(spans)
+        extents = doc_extents(spans)
+        for is_bigram in (False, True):
+            for stem, positions in doc_stem_positions(title, stream, is_bigram).items():
+                out["stem"].append(stem)
+                out["doc_id"].append(doc_id)
+                out["positions"].append(positions)
+                out["wtf"].append(positions_to_rank(positions, extents))
+                out["is_bigram"].append(is_bigram)
+    return pa.Table.from_pydict(out, schema=POSTINGS_SCHEMA)
+
+
+SCORED_SCHEMA = pa.schema(
+    [
+        ("stem", pa.string()),
+        ("doc_id", pa.int64()),
+        ("positions", pa.list_(pa.int32())),
+        ("tfidf", pa.float64()),
+        ("is_bigram", pa.bool_()),
+    ]
+)
+
+
+def score_stem_group(group: pa.Table, num_documents: int) -> pa.Table:
+    """groupby(stem, is_bigram) → tf-idf + within-stem ordering
+    (Indexer.py:142-173). Arrow in / Arrow out — the nested ``positions``
+    column must not round-trip through pandas."""
+    rows = sorted(
+        zip(group["doc_id"].to_pylist(), group["positions"].to_pylist(),
+            group["wtf"].to_pylist()),
+        key=lambda r: r[0],          # doc write order
+    )
+    dfreq = len(rows)
+    idf = math.log10(num_documents / dfreq)
+    scored = [
+        (d, pos, round((1.0 + math.log10(w)) * idf, 4) if w > 0 else 0.0)
+        for d, pos, w in rows
+    ]
+    is_bigram = bool(group["is_bigram"][0].as_py())
+    if not is_bigram:
+        # unigram postings sorted by tfidf desc, stable (Indexer.py:166-168)
+        scored.sort(key=lambda r: -r[2])
+    stem = group["stem"][0].as_py()
+    return pa.Table.from_pydict(
+        {
+            "stem": [stem] * dfreq,
+            "doc_id": [r[0] for r in scored],
+            "positions": [r[1] for r in scored],
+            "tfidf": [r[2] for r in scored],
+            "is_bigram": [is_bigram] * dfreq,
+        },
+        schema=SCORED_SCHEMA,
+    )

@@ -1,0 +1,114 @@
+"""Filter/indexer/query conformance: Ray pipeline vs serial oracle
+(backend/Filter.py + Indexer.py + Query.py semantics)."""
+
+import pytest
+
+from spidey_ray.sources.synthetic_web import WebConfig
+
+
+@pytest.fixture(scope="module")
+def doc_rows():
+    from spidey_ray.pipelines.oracle import crawl_serial
+
+    o = crawl_serial(WebConfig())
+    order = {u: i for i, u in enumerate(o.fetch_log)}
+    return [
+        dict(doc_id=u, title=o.titles[u], spans=s, crawl_seq=order[u])
+        for u, s in o.documents.items()
+    ]
+
+
+@pytest.fixture(scope="module")
+def serial_index(doc_rows):
+    from spidey_ray.pipelines.index_oracle import filter_index_serial
+
+    return filter_index_serial(doc_rows)
+
+
+@pytest.fixture(scope="module")
+def ray_index(ray_session, doc_rows, tmp_path_factory):
+    import ray.data
+
+    from spidey_ray import io as sio
+    from spidey_ray.pipelines.filter_index import run_filter_index
+
+    out = str(tmp_path_factory.mktemp("fi"))
+    res = run_filter_index(ray.data.from_items(doc_rows), out)
+    return res, sio.read_table_arrow(res.doc_meta_path), sio.read_table_arrow(res.postings_path)
+
+
+class TestFilterIndexMatchesOracle:
+    def test_survivor_count(self, ray_index, serial_index):
+        res, _, _ = ray_index
+        assert res.num_documents == serial_index.num_documents
+
+    def test_doc_meta(self, ray_index, serial_index):
+        _, meta, _ = ray_index
+        rows = sorted(
+            (dict(zip(meta.column_names, r))
+             for r in zip(*[meta[c].to_pylist() for c in meta.column_names])),
+            key=lambda r: r["doc_id"],
+        )
+        assert rows == serial_index.doc_meta
+
+    def test_postings_exact(self, ray_index, serial_index):
+        """Every posting list: same docs, same positions (title-negated),
+        same 4-d.p. tf-idf, same within-stem order."""
+        _, _, pt = ray_index
+        got = {False: {}, True: {}}
+        for stem, d, pos, tf, bg in zip(
+            pt["stem"].to_pylist(), pt["doc_id"].to_pylist(),
+            pt["positions"].to_pylist(), pt["tfidf"].to_pylist(),
+            pt["is_bigram"].to_pylist(),
+        ):
+            got[bg].setdefault(stem, []).append([d, pos, tf])
+        for bg in (False, True):
+            assert got[bg].keys() == serial_index.postings[bg].keys()
+            for stem, plist in serial_index.postings[bg].items():
+                assert got[bg][stem] == plist, (bg, stem)
+
+    def test_title_positions_negated(self, serial_index):
+        # Indexer.py:79: title occurrence encoded as -(pos+1)
+        has_negative = any(
+            any(p < 0 for p in posting[1])
+            for plist in serial_index.postings[False].values()
+            for posting in plist
+        )
+        assert has_negative
+
+
+class TestQuery:
+    @pytest.fixture(scope="class")
+    def qi(self, ray_index):
+        from spidey_ray.pipelines.query import QueryIndex
+
+        res, meta, pt = ray_index
+        return QueryIndex(pt, meta, res.num_documents)
+
+    def test_top10_and_scores(self, qi):
+        res, ms = qi.query("home")
+        assert 0 < len(res) <= 10
+        scores = [s for _, s in res]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_and_semantics(self, qi):
+        # every result of a two-term query must contain both stems
+        res, _ = qi.query("home page")
+        uni = qi.index[False]
+        docs_home = {p[0] for p in uni.get("home", [])}
+        docs_page = {p[0] for p in uni.get("page", [])}
+        for doc_id, _s in res:
+            assert doc_id in docs_home | docs_page  # union rounds may widen
+
+    def test_all_stopword_query(self, qi):
+        # Query.py:311-329: all-stopword query disables stopword removal
+        res, _ = qi.query("the of and")
+        assert isinstance(res, list)
+
+    def test_intersect_shape(self, qi):
+        out = qi._intersect([[1, 1.0], [5, 2.0]], [[5, 3.0], [7, 4.0]])
+        assert out == [[5, 5.0]]
+
+    def test_unknown_term_empty(self, qi):
+        res, _ = qi.query("zzzzqqqqxxxx")
+        assert res == []
