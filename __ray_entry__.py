@@ -1,44 +1,930 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes the engine's operator library (SURVEY.md §2) over the
+driver testdata tables; every SQL-expressible operator has a matching
+``oracle_sql()`` entry (DuckDB), with aggregate/computed columns named
+identically on both sides.  Crawl-domain and approximate operators (simhash,
+minhash-LSH, ANN, the crawl loop itself) are rows-only checks by design.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _quiet():
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    _quiet()
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish operator library (SQL-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_groupby_agg(sf_dir: str):
+    """Partial-aggregate-then-groupby over lineitem (SURVEY.md §2.5 A6-A8 shape)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc_price)
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            n=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(
+            lambda g: g.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty=("sum_qty", "sum"),
+                 sum_base_price=("sum_base_price", "sum"),
+                 sum_disc_price=("sum_disc_price", "sum"),
+                 n=("n", "sum")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    # data has 2-decimal prices and 4-decimal products: round to the data's
+    # own precision so the half-rounding mode can never be exercised
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_base_price"] = out["sum_base_price"].round(2)
+    out["sum_disc_price"] = out["sum_disc_price"].round(4)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q_filter_project(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"])
+    cutoff = pa.scalar(pd.Timestamp("1996-01-01"))
+    out = ds.map_batches(
+        lambda t: t.filter(pc.less(t["l_shipdate"], cutoff))
+        .select(["l_orderkey", "l_linenumber", "l_quantity"]),
+        batch_format="pyarrow",
+    )
+    return out
+
+
+def q_hash_join(sf_dir: str):
+    """orders ⋈ customer on custkey (broadcast small side: ray.put once)."""
+    import ray as _ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust_ref = _ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def join(t: pa.Table) -> pa.Table:
+        seg_of = _ray.get(cust_ref)
+        df = t.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(seg_of)
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            order_count=("o_orderkey", "size"), total=("o_totalprice", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(join, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(
+            lambda g: g.groupby("c_mktsegment", as_index=False).agg(
+                order_count=("order_count", "sum"), total=("total", "sum")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out["order_count"] = out["order_count"].astype("int64")
+    out["total"] = out["total"].round(2)
+    return out
+
+
+def q_broadcast_join(sf_dir: str):
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    rkey = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    rmap = dict(zip(region["r_regionkey"], region["r_name"]))
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_name"] = df["s_nationkey"].map(nmap)
+        df["r_name"] = df["s_nationkey"].map(rkey).map(rmap)
+        return df[["s_name", "n_name", "r_name"]]
+
+    return sup.map_batches(join, batch_format="pandas")
+
+
+def q_topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_semi_join(sf_dir: str):
+    """Customers having an order > 100000 (broadcast key-set semi join)."""
+    big = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(lambda t: t.filter(pc.greater(t["o_totalprice"], 100000.0)),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    keys = set(big["o_custkey"])
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda t: t.filter(pa.array([k in keys for k in t["c_custkey"].to_pylist()])),
+        batch_format="pyarrow",
+    )
+
+
+def q_anti_join(sf_dir: str):
+    """Customers with no order above 300k (broadcast key-set anti join)."""
+    keys = set(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)),
+                     batch_format="pyarrow")
+        .to_pandas()["o_custkey"]
+    )
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda t: t.filter(
+            pa.array([k not in keys for k in t["c_custkey"].to_pylist()])),
+        batch_format="pyarrow",
+    )
+
+
+def q_distinct(sf_dir: str):
+    return (
+        _read(sf_dir, "documents", ["lang", "source"])
+        .groupby(["lang", "source"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+def q_union_groupby(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    lo = orders.map_batches(
+        lambda t: t.filter(pc.less(t["o_totalprice"], 50000.0)),
+        batch_format="pyarrow")
+    hi = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 200000.0)),
+        batch_format="pyarrow")
+    out = (
+        lo.union(hi)
+        .groupby("o_orderstatus")
+        .map_groups(
+            lambda g: pd.DataFrame({"o_orderstatus": [g["o_orderstatus"].iloc[0]],
+                                    "n": [len(g)]}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q_grouped_topk(sf_dir: str):
+    """Per-customer top-2 orders by price (groupby().map_groups top-k)."""
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .map_groups(
+            lambda g: g.sort_values(["o_totalprice", "o_orderkey"],
+                                    ascending=[False, True]).head(2),
+            batch_format="pandas",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents / events operators (SQL-checked)
+# ---------------------------------------------------------------------------
+
+_TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9'']+')"
+
+
+def q_token_counts(sf_dir: str):
+    from spidey_ray.stages.textstats import explode_token_counts_batch
+
+    out = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(explode_token_counts_batch, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "token"], ascending=[False, True]).head(50)
+    return out.reset_index(drop=True)
+
+
+def q_longest_docs(sf_dir: str):
+    from spidey_ray.stages.textstats import token_count_batch
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+        .sort(["n_tokens", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_doc_token_stats(sf_dir: str):
+    from spidey_ray.stages.textstats import token_count_batch
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens", "n_ws_tokens"])
+    )
+
+
+def q_exact_dedup(sf_dir: str):
+    from spidey_ray.stages.dedup import exact_dedup
+
+    return (
+        exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+        .select_columns(["content_hash", "doc_id"])
+    )
+
+
+def q_tfidf(sf_dir: str):
+    """tf-idf over the documents table — the distributed form of
+    Indexer.py:175-224 (df via groupby, N broadcast)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def explode(t: pa.Table) -> pa.Table:
+        from spidey_ray.stages.textstats import tokens_of
+
+        doc_ids, tokens, tfs = [], [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            freq: dict[str, int] = {}
+            for tok in tokens_of(text):
+                freq[tok] = freq.get(tok, 0) + 1
+            for tok, n in freq.items():
+                doc_ids.append(d)
+                tokens.append(tok)
+                tfs.append(n)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "token": pa.array(tokens, type=pa.string()),
+            "tf": pa.array(tfs, type=pa.int64()),
+        })
+
+    import math
+
+    def score_group(g: pd.DataFrame) -> pd.DataFrame:
+        df = len(g)
+        idf = math.log10(n_docs / df)
+        g = g.assign(
+            tfidf=[round((1 + math.log10(tf)) * idf, 4) for tf in g["tf"]])
+        return g
+
+    return (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(score_group, batch_format="pandas")
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # dtype-robust epoch seconds (testdata timestamps are datetime64[us])
+        df["hour_epoch"] = (
+            (df["ts"].dt.floor("h") - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+        ).astype("int64")
+        g = df.groupby(["event_type", "hour_epoch"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"))
+        return g
+
+    out = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby(["event_type", "hour_epoch"])
+        .map_groups(
+            lambda g: g.groupby(["event_type", "hour_epoch"], as_index=False)
+            .agg(n=("n", "sum"), sum_value=("sum_value", "sum")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
+def q_events_json(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        df["k_val"] = df["props"].map(lambda p: str(json.loads(p)["k"]))
+        return df[["event_id", "k_val"]]
+
+    return ds.map_batches(extract, batch_format="pandas")
+
+
+def q_events_filter(sf_dir: str):
+    return _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"]) \
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(pc.equal(t["event_type"], "purchase"),
+                        pc.greater(t["value"], 50.0))
+            ).select(["event_id", "user_id", "value"]),
+            batch_format="pyarrow",
+        )
+
+
+def q_quality_stop_ratio(sf_dir: str):
+    """Stopword-ratio quality signal in integer basis points — integer
+    arithmetic on both sides so the oracle compare is exact."""
+    from spidey_ray.stages.textstats import LANG_MARKERS, tokens_of
+
+    stop = LANG_MARKERS["en"]
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, bps = [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = tokens_of(text)
+            k = sum(1 for x in toks if x in stop)
+            ids.append(d)
+            bps.append((10000 * k) // max(len(toks), 1))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "stop_bp": pa.array(bps, type=pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# URL operators over synthesized columns (SQL-checked M1/M2/M4 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _synth_urls(t: pa.Table) -> list[tuple[int, str]]:
+    out = []
+    for d in t["doc_id"].to_pylist():
+        d = int(d)
+        url = f"https://h{d % 5}.example.com/p/{d}" + ("/" if d % 4 == 1 else "")
+        out.append((d, url))
+    return out
+
+
+def q_url_canonicalize(sf_dir: str):
+    from spidey_ray.functions import urltools
+
+    def fn(t: pa.Table) -> pa.Table:
+        rows = _synth_urls(t)
+        return pa.table({
+            "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+            "url": pa.array([u for _, u in rows], type=pa.string()),
+            "canonical": pa.array([urltools.normalize(u) for _, u in rows],
+                                  type=pa.string()),
+            "host": pa.array([urltools.url_host(u) for _, u in rows],
+                             type=pa.string()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def q_url_query_sort(sf_dir: str):
+    from spidey_ray.functions import urltools
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, urls, sorted_urls = [], [], []
+        for d in t["doc_id"].to_pylist():
+            d = int(d)
+            u = f"https://h{d % 5}.example.com/list?page={d}&sort=s{d % 3}&b={d % 7}"
+            ids.append(d)
+            urls.append(u)
+            sorted_urls.append(urltools.sort_by_query(u))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "url": pa.array(urls, type=pa.string()),
+            "sorted_url": pa.array(sorted_urls, type=pa.string()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def q_url_valid_filter(sf_dir: str):
+    from spidey_ray.functions import urltools
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, urls = [], []
+        for d in t["doc_id"].to_pylist():
+            d = int(d)
+            u = [
+                f"https://h{d % 5}.example.com/p/{d}",
+                f"ftp://h{d % 5}.example.com/p/{d}",
+                f"https://outside.net/p/{d}",
+                f"https://h{d % 5}.example.com/img/{d}.jpg",
+            ][d % 4]
+            if urltools.is_valid(u):
+                ids.append(d)
+                urls.append(u)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "url": pa.array(urls, type=pa.string()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embeddings (SQL-checked brute-force; ANN variants rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_topk(sf_dir: str):
+    from spidey_ray.stages.similarity import cosine_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = emb.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    qv = np.array(q0["embedding"].iloc[0], dtype=np.float64)
+    out = cosine_topk(emb, qv, k=10)
+    return out.select(["vec_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# rows-only operators (non-SQL-expressible; deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _small_web():
+    from spidey_ray.sources.synthetic_web import WebConfig
+
+    return WebConfig(n_hosts=6, pages_per_host=8, n_seeds=3)
+
+
+def q_crawl_bfs(sf_dir: str):
+    """The flagship: full distributed crawl on the synthetic web; returns the
+    canonical fetch log (crawl-order invariant, north_rule)."""
+    from spidey_ray.pipelines.crawl import CrawlEngine
+
+    res = CrawlEngine(_small_web(), fetch_concurrency=2).run()
+    return pa.table({
+        "fetch_seq": pa.array(range(len(res.fetch_log)), type=pa.int64()),
+        "url": pa.array(res.fetch_log, type=pa.string()),
+    })
+
+
+def q_crawl_seen_set(sf_dir: str):
+    from spidey_ray.pipelines.oracle import crawl_serial
+
+    res = crawl_serial(_small_web())
+    rows = sorted(
+        (r.url, r.url_hash.hex(), r.status) for r in res.rows.values()
+    )
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], type=pa.string()),
+        "url_hash": pa.array([r[1] for r in rows], type=pa.string()),
+        "status": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+
+
+def q_crawl_documents(sf_dir: str):
+    """Interleaved span-sequence output of the crawl (input_hint shape)."""
+    from spidey_ray.pipelines.oracle import crawl_serial
+
+    res = crawl_serial(_small_web())
+    rows = sorted(res.documents.items())
+    return pa.table({
+        "doc_id": pa.array([u for u, _ in rows], type=pa.string()),
+        "n_spans": pa.array([len(s) for _, s in rows], type=pa.int64()),
+        "n_links": pa.array(
+            [sum(1 for x in s if x["kind"] == "link") for _, s in rows],
+            type=pa.int64()),
+        "n_media": pa.array(
+            [sum(1 for x in s if x["kind"] == "media") for _, s in rows],
+            type=pa.int64()),
+    })
+
+
+def q_index_postings(sf_dir: str):
+    """Crawl docs → filter/index pipeline → postings sample (rows-only)."""
+    from spidey_ray.pipelines.oracle import crawl_serial
+    from spidey_ray.pipelines.filter_index import run_filter_index
+    import tempfile
+
+    res = crawl_serial(_small_web())
+    order = {u: i for i, u in enumerate(res.fetch_log)}
+    rows = [dict(doc_id=u, title=res.titles[u], spans=s, crawl_seq=order[u])
+            for u, s in res.documents.items()]
+    with tempfile.TemporaryDirectory() as td:
+        fi = run_filter_index(ray.data.from_items(rows), td)
+        from spidey_ray import io as sio
+
+        pt = sio.read_table_arrow(fi.postings_path)
+    df = pt.to_pandas()
+    df = df[~df["is_bigram"]][["stem", "doc_id", "tfidf"]]
+    return df.sort_values(["stem", "doc_id"]).reset_index(drop=True)
+
+
+def q_search(sf_dir: str):
+    """AND-boolean retrieval + ranking over the crawl index (rows-only)."""
+    from spidey_ray.pipelines.oracle import crawl_serial
+    from spidey_ray.pipelines.filter_index import run_filter_index
+    from spidey_ray.pipelines.query import QueryIndex
+    from spidey_ray import io as sio
+    import tempfile
+
+    res = crawl_serial(_small_web())
+    order = {u: i for i, u in enumerate(res.fetch_log)}
+    rows = [dict(doc_id=u, title=res.titles[u], spans=s, crawl_seq=order[u])
+            for u, s in res.documents.items()]
+    with tempfile.TemporaryDirectory() as td:
+        fi = run_filter_index(ray.data.from_items(rows), td)
+        qi = QueryIndex(sio.read_table_arrow(fi.postings_path),
+                        sio.read_table_arrow(fi.doc_meta_path),
+                        fi.num_documents)
+    out = {"query": [], "rank": [], "url": []}
+    for q in ("home", "page", "listing"):
+        for rank, (title, url) in enumerate(qi.results_with_info(q), 1):
+            out["query"].append(q)
+            out["rank"].append(rank)
+            out["url"].append(url)
+    return pa.table({
+        "query": pa.array(out["query"], type=pa.string()),
+        "rank": pa.array(out["rank"], type=pa.int64()),
+        "url": pa.array(out["url"], type=pa.string()),
+    })
+
+
+def q_minhash_pairs(sf_dir: str):
+    from spidey_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+
+
+def q_minhash_dedup(sf_dir: str):
+    from spidey_ray.stages.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    ).select_columns(["doc_id"])
+
+
+def q_simhash_pairs(sf_dir: str):
+    from spidey_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    from spidey_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    """The testdata embeddings have no natural near-dups (max pairwise cosine
+    ≈0.51), so seed the corpus with perturbed copies of the first vectors —
+    the operator must find exactly those planted pairs."""
+    from spidey_ray.stages.dedup import embedding_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        vecs = t["embedding"].to_pylist()
+        rng = np.random.default_rng(7)
+        add_ids, add_vecs = [], []
+        for i, (d, v) in enumerate(zip(ids, vecs)):
+            if d % 100 == 0:
+                noisy = np.asarray(v, dtype=np.float32)
+                noisy = noisy + rng.normal(0, 0.01, size=len(noisy)).astype(np.float32)
+                add_ids.append(d + 1_000_000)
+                add_vecs.append(noisy.tolist())
+        return pa.table({
+            "vec_id": pa.array(ids + add_ids, type=pa.int64()),
+            "embedding": pa.array(vecs + add_vecs, type=pa.list_(pa.float32())),
+        })
+
+    return embedding_dup_pairs(
+        emb.map_batches(plant, batch_format="pyarrow"), threshold=0.95)
+
+
+def q_lang_id(sf_dir: str):
+    from spidey_ray.stages.textstats import language_id_batch
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(language_id_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang", "pred_lang"])
+    )
+
+
+def q_doc_fingerprints(sf_dir: str):
+    from spidey_ray.stages.textstats import fingerprint_batch
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+    )
+
+
+def q_ivf_ann(sf_dir: str):
+    from spidey_ray.stages.similarity import IvfIndex
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = emb.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    idx = IvfIndex(n_lists=8, n_probe=3).build(emb)
+    hits = idx.search(np.array(q0["embedding"].iloc[0], dtype=np.float64), k=10)
+    return pa.table({
+        "rank": pa.array(range(1, len(hits) + 1), type=pa.int64()),
+        "vec_id": pa.array([h[0] for h in hits], type=pa.int64()),
+        "cosine": pa.array([h[1] for h in hits], type=pa.float64()),
+    })
+
+
+def q_media_features(sf_dir: str):
+    from spidey_ray.stages.multimodal import media_feature_pipeline
+
+    refs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda t: pa.table({
+            "media_ref": pa.array(
+                [f"img://doc/{d}" for d in t["doc_id"].to_pylist()],
+                type=pa.string())}),
+        batch_format="pyarrow",
+    )
+    return media_feature_pipeline(refs)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship training-data pipeline on sf0.001: exact dedup + language-ID
+    + quality scoring over the documents table (streaming, Arrow batches)."""
+    sf_dir = "/root/testdata/sf0.001"
+    from spidey_ray.stages.dedup import content_hash_batch
+    from spidey_ray.stages.textstats import language_id_batch, quality_score_batch
+
+    _quiet()
+    docs = _read(sf_dir, "documents")
+    deduped = (
+        docs.map_batches(content_hash_batch, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(lambda g: g.sort_values("doc_id").head(1),
+                    batch_format="pandas")
+    )
+    lang = deduped.map_batches(language_id_batch, batch_format="pyarrow")
+
+    def with_quality(t: pa.Table) -> pa.Table:
+        q = quality_score_batch(t)
+        return t.append_column("quality", q["quality"])
+
+    return lang.map_batches(with_quality, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # TPC-H-ish operator library
+        "groupby_agg": q_groupby_agg,
+        "filter_project": q_filter_project,
+        "hash_join": q_hash_join,
+        "broadcast_join": q_broadcast_join,
+        "topk_orders": q_topk_orders,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "distinct": q_distinct,
+        "union_groupby": q_union_groupby,
+        "grouped_topk": q_grouped_topk,
+        # documents / events
+        "token_counts": q_token_counts,
+        "longest_docs": q_longest_docs,
+        "doc_token_stats": q_doc_token_stats,
+        "exact_dedup": q_exact_dedup,
+        "tfidf": q_tfidf,
+        "events_hourly": q_events_hourly,
+        "events_json": q_events_json,
+        "events_filter": q_events_filter,
+        "quality_stop_ratio": q_quality_stop_ratio,
+        # URL ops
+        "url_canonicalize": q_url_canonicalize,
+        "url_query_sort": q_url_query_sort,
+        "url_valid_filter": q_url_valid_filter,
+        # embeddings
+        "embedding_topk": q_embedding_topk,
+        # crawl domain + approximate ops (rows-only)
+        "crawl_bfs": q_crawl_bfs,
+        "crawl_seen_set": q_crawl_seen_set,
+        "crawl_documents": q_crawl_documents,
+        "index_postings": q_index_postings,
+        "search": q_search,
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "ivf_ann": q_ivf_ann,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from spidey_ray.stages.textstats import LANG_MARKERS
+
+    stop_list = "[" + ",".join(f"'{w}'" for w in sorted(LANG_MARKERS["en"])) + "]"
+    return {
+        "groupby_agg": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) as sum_disc_price,
+                   count(*) as n
+            from lineitem group by l_returnflag, l_linestatus
+        """,
+        "filter_project": """
+            select l_orderkey, l_linenumber, l_quantity
+            from lineitem where l_shipdate < timestamp '1996-01-01'
+        """,
+        "hash_join": """
+            select c.c_mktsegment, count(*) as order_count,
+                   round(sum(o.o_totalprice), 2) as total
+            from orders o join customer c on o.o_custkey = c.c_custkey
+            group by c.c_mktsegment
+        """,
+        "broadcast_join": """
+            select s.s_name, n.n_name, r.r_name
+            from supplier s
+            join nation n on s.s_nationkey = n.n_nationkey
+            join region r on n.n_regionkey = r.r_regionkey
+        """,
+        "topk_orders": """
+            select o_orderkey, o_totalprice from orders
+            order by o_totalprice desc, o_orderkey limit 10
+        """,
+        "semi_join": """
+            select c_custkey, c_name from customer
+            where c_custkey in (select o_custkey from orders where o_totalprice > 100000)
+        """,
+        "anti_join": """
+            select c_custkey, c_name from customer
+            where c_custkey not in
+                (select o_custkey from orders where o_totalprice > 300000)
+        """,
+        "distinct": "select distinct lang, source from documents",
+        "union_groupby": """
+            select o_orderstatus, count(*) as n from (
+                select o_orderstatus from orders where o_totalprice < 50000
+                union all
+                select o_orderstatus from orders where o_totalprice > 200000
+            ) group by o_orderstatus
+        """,
+        "grouped_topk": """
+            select o_custkey, o_orderkey, o_totalprice from (
+                select o_custkey, o_orderkey, o_totalprice,
+                       row_number() over (partition by o_custkey
+                                          order by o_totalprice desc, o_orderkey) rn
+                from orders
+            ) where rn <= 2
+        """,
+        "token_counts": f"""
+            select token, count(*) as n
+            from (select unnest({_TOKEN_SQL}) as token from documents)
+            group by token order by n desc, token limit 50
+        """,
+        "longest_docs": f"""
+            select doc_id, len({_TOKEN_SQL}) as n_tokens
+            from documents order by n_tokens desc, doc_id limit 10
+        """,
+        "doc_token_stats": f"""
+            select doc_id, len({_TOKEN_SQL}) as n_tokens,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) as n_ws_tokens
+            from documents
+        """,
+        "exact_dedup": """
+            select md5(text) as content_hash, min(doc_id) as doc_id
+            from documents group by md5(text)
+        """,
+        "tfidf": f"""
+            with tf as (
+                select doc_id, token, count(*) as tf
+                from (select doc_id, unnest({_TOKEN_SQL}) as token from documents)
+                group by doc_id, token
+            ), df as (
+                select token, count(*) as df from tf group by token
+            ), n as (select count(*) as n_docs from documents)
+            select tf.doc_id, tf.token, tf.tf,
+                   round((1 + log10(tf.tf)) * log10(n.n_docs / df.df), 4) as tfidf
+            from tf join df using (token) cross join n
+        """,
+        "events_hourly": """
+            select event_type,
+                   cast(epoch(date_trunc('hour', ts)) as bigint) as hour_epoch,
+                   count(*) as n, round(sum(value), 2) as sum_value
+            from events group by 1, 2
+        """,
+        "events_json": """
+            select event_id, json_extract_string(props, '$.k') as k_val from events
+        """,
+        "events_filter": """
+            select event_id, user_id, value from events
+            where event_type = 'purchase' and value > 50
+        """,
+        "quality_stop_ratio": f"""
+            select doc_id,
+                   (10000 * len(list_filter({_TOKEN_SQL},
+                                x -> list_contains({stop_list}, x))))
+                   // greatest(len({_TOKEN_SQL}), 1) as stop_bp
+            from documents
+        """,
+        "url_canonicalize": """
+            with u as (
+                select doc_id,
+                       'https://h' || (doc_id % 5) || '.example.com/p/' || doc_id
+                       || (case when doc_id % 4 = 1 then '/' else '' end) as url
+                from documents
+            )
+            select doc_id, url,
+                   case when url like '%/' then rtrim(url, '/') else url end as canonical,
+                   'h' || (doc_id % 5) || '.example.com' as host
+            from u
+        """,
+        "url_query_sort": """
+            with u as (
+                select doc_id,
+                       'https://h' || (doc_id % 5) || '.example.com/list' as base,
+                       'page=' || doc_id || '&sort=s' || (doc_id % 3) || '&b=' || (doc_id % 7) as q
+                from documents
+            )
+            select doc_id, base || '?' || q as url,
+                   base || '?' || array_to_string(list_sort(string_split(q, '&')), '&') as sorted_url
+            from u
+        """,
+        "url_valid_filter": """
+            select doc_id,
+                   'https://h' || (doc_id % 5) || '.example.com/p/' || doc_id as url
+            from documents where doc_id % 4 = 0
+        """,
+        "embedding_topk": """
+            select e.vec_id,
+                   row_number() over (
+                       order by list_cosine_similarity(e.embedding, q.embedding) desc,
+                                e.vec_id) as rank
+            from embeddings e,
+                 (select embedding from embeddings where vec_id = 0) q
+            order by rank limit 10
+        """,
+    }
+
+
+if __name__ == "__main__":
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    out = entry()
+    print(out)
+    ray.shutdown()

@@ -1,0 +1,146 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All are vectorized ``map_batches`` stages over the driver `documents` table
+(doc_id, text, lang, source, n_chars) or any table with a text column.
+These generalize the reference's per-page token statistics
+(backend/crawler/scraper.py:264-288) into reusable operators.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.simhash import token_hash64
+
+TOKEN_RE = r"[a-z0-9']+"
+# BPE-ish word/number/punct splitter (public GPT-2-style pattern, simplified)
+BPE_ISH_RE = re.compile(r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]+")
+
+# tiny per-language marker profiles (public-knowledge function words)
+LANG_MARKERS: dict[str, frozenset] = {
+    "en": frozenset("the and of to in is for with on that this are was".split()),
+    "de": frozenset("der die das und ist nicht ein eine mit für von zu den".split()),
+    "es": frozenset("el la los las es una con por para que del como más".split()),
+    "fr": frozenset("le la les et est une des dans pour que qui pas sur".split()),
+}
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def tokens_of(text: str) -> list[str]:
+    return re.findall(TOKEN_RE, text.lower())
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc token counts: whitespace tokens + BPE-ish pieces."""
+    texts = batch[text_col].to_pylist()
+    ws = pa.array([len(t.split()) for t in texts], type=pa.int64())
+    bpe = pa.array([len(BPE_ISH_RE.findall(t)) for t in texts], type=pa.int64())
+    regex = pa.array([len(tokens_of(t)) for t in texts], type=pa.int64())
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_ws_tokens": ws,
+        "n_bpe_tokens": bpe,
+        "n_tokens": regex,
+    })
+
+
+def explode_token_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial (token, n) counts — pre-aggregation before the
+    global groupby (the combiner pattern, SURVEY.md §2.5 A3)."""
+    counts: dict[str, int] = {}
+    for t in batch[text_col].to_pylist():
+        for tok in tokens_of(t):
+            counts[tok] = counts.get(tok, 0) + 1
+    return pa.table({
+        "token": list(counts.keys()),
+        "n": pa.array(list(counts.values()), type=pa.int64()),
+    })
+
+
+def language_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Marker-word + CJK-ratio language heuristic → pred_lang column."""
+    preds = []
+    for t in batch[text_col].to_pylist():
+        cjk = sum(1 for ch in t[:400] if "一" <= ch <= "鿿")
+        if cjk > max(4, len(t[:400]) * 0.05):
+            preds.append("zh")
+            continue
+        toks = tokens_of(t)
+        scores = {
+            lang: sum(1 for tok in toks if tok in markers)
+            for lang, markers in LANG_MARKERS.items()
+        }
+        best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+        preds.append(best[0] if best[1] > 0 else "unknown")
+    return batch.append_column("pred_lang", pa.array(preds, type=pa.string()))
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Composite quality features: length, punctuation ratio, stopword ratio,
+    mean word length, plus a [0,1] score."""
+    n_chars, punct_ratio, stop_ratio, mean_wlen, score = [], [], [], [], []
+    for t in batch[text_col].to_pylist():
+        toks = tokens_of(t)
+        n = len(t)
+        punct = sum(1 for ch in t if not ch.isalnum() and not ch.isspace())
+        stop = sum(1 for tok in toks if tok in STOPWORDS_EN)
+        pr = punct / n if n else 0.0
+        sr = stop / len(toks) if toks else 0.0
+        mw = sum(map(len, toks)) / len(toks) if toks else 0.0
+        n_chars.append(n)
+        punct_ratio.append(round(pr, 4))
+        stop_ratio.append(round(sr, 4))
+        mean_wlen.append(round(mw, 4))
+        s = 1.0
+        if n < 100:
+            s *= n / 100.0
+        if pr > 0.2:
+            s *= 0.5
+        if not 2.0 <= mw <= 12.0:
+            s *= 0.5
+        score.append(round(s, 4))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": pa.array(n_chars, type=pa.int64()),
+        "punct_ratio": pa.array(punct_ratio, type=pa.float64()),
+        "stop_ratio": pa.array(stop_ratio, type=pa.float64()),
+        "mean_word_len": pa.array(mean_wlen, type=pa.float64()),
+        "quality": pa.array(score, type=pa.float64()),
+    })
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      window: int = 8) -> pa.Table:
+    """Rolling-hash (Rabin-Karp over token hashes) document fingerprint:
+    min/max over the window hashes + the full-stream hash — a winnowing-style
+    content signature (Schleimer et al., SIGMOD'03)."""
+    fps_min, fps_full = [], []
+    B = np.uint64(1099511628211)
+    for t in batch[text_col].to_pylist():
+        hs = np.array([token_hash64(tok) for tok in tokens_of(t)], dtype=np.uint64)
+        n = len(hs)
+        if n == 0:
+            fps_min.append(0)
+            fps_full.append(0)
+            continue
+        w = min(window, n)
+        with np.errstate(over="ignore"):
+            # rolling window hashes, vectorized over window positions
+            acc = np.zeros(n - w + 1, dtype=np.uint64)
+            for j in range(w):
+                acc = acc * B + hs[j: n - w + 1 + j]
+            full = np.uint64(0)
+            for h in hs:
+                full = full * B + h
+        fps_min.append(int(acc.min()))
+        fps_full.append(int(full))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fp_min": pa.array(fps_min, type=pa.uint64()),
+        "fp_full": pa.array(fps_full, type=pa.uint64()),
+    })
