@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline crawl (fetch+parse throughput over the
+deterministic synthetic web — the BASELINE.json metric) plus a set of
+operator pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+then prints ONE JSON line:
+
+  {"metric": "crawl_urls_fetched_parsed_per_sec", "value": <headline sec>,
+   "unit": "sec", "urls_per_sec": ..., "queries": {...}, "sf": ...,
+   "num_cpus": N}
+
+``--scaling``: runs the identical headline job in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus the scaling efficiency eff = (T_8 / T_32) / 4 (sandbox evidence protocol
+for the N→4N-nodes criterion, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CRAWL_ONLY = os.environ.get("GRAFT_CRAWL_ONLY", "") == "1"
+
+# Fixed bench web — identical at every parallelism level. Hosts >= 8x max
+# CPU level so per-host politeness never caps aggregate throughput
+# (BASELINE.md note); branching covers each host in one round so the crawl
+# is parse-bound, not round-overhead-bound.
+BENCH_WEB = dict(n_hosts=256, pages_per_host=120, branching=120,
+                 cross_links=2, tokens_per_page=1600, n_seeds=64)
+WARMUP_WEB = dict(n_hosts=64, pages_per_host=12, branching=12,
+                  cross_links=2, tokens_per_page=400, n_seeds=64)
+BENCH_WINDOW = 100.0
+
+
+def run_crawl(num_cpus: int) -> dict:
+    from spidey_ray.pipelines.crawl import CrawlEngine
+    from spidey_ray.sources.synthetic_web import WebConfig
+    from spidey_ray.state.politeness import CrawlSettings
+
+    ckpt = "/tmp/bench_ckpt"
+    # untimed warmup: spins up the Ray worker pool and imports so the timed
+    # run measures steady-state throughput, not process spawn
+    shutil.rmtree(ckpt, ignore_errors=True)
+    CrawlEngine(
+        WebConfig(**WARMUP_WEB), CrawlSettings(round_window=BENCH_WINDOW),
+        n_seen_shards=4, n_host_shards=8, fetch_concurrency=num_cpus,
+        inline_threshold=0,
+    ).run()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t0 = time.time()
+    eng = CrawlEngine(
+        WebConfig(**BENCH_WEB),
+        CrawlSettings(round_window=BENCH_WINDOW),
+        ckpt_dir=ckpt,
+        n_seen_shards=4,
+        n_host_shards=8,
+        fetch_concurrency=num_cpus,
+        fetch_batch_size=16,
+    ).run()
+    elapsed = time.time() - t0
+    return {
+        "sec": round(elapsed, 2),
+        "urls": len(eng.fetch_log),
+        "urls_per_sec": round(len(eng.fetch_log) / elapsed, 1),
+        "rounds": eng.rounds,
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as entry
+
+    names = [
+        "groupby_agg", "filter_project", "hash_join", "token_counts",
+        "longest_docs", "tfidf", "exact_dedup", "events_hourly",
+        "embedding_topk", "minhash_dedup", "simhash_pairs", "lang_id",
+    ]
+    qs = entry.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # force execution
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main() -> None:
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    crawl = run_crawl(NUM_CPUS)
+    queries = {} if CRAWL_ONLY else run_queries(SF_DIR)
+
+    print(json.dumps({
+        "metric": "crawl_urls_fetched_parsed_per_sec",
+        "value": crawl["sec"],
+        "unit": "sec",
+        "urls": crawl["urls"],
+        "urls_per_sec": crawl["urls_per_sec"],
+        "rounds": crawl["rounds"],
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_CRAWL_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "urls": r_lo["urls"],
+        "urls_per_sec_lo": r_lo["urls_per_sec"],
+        "urls_per_sec_hi": r_hi["urls_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

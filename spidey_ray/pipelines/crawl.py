@@ -59,11 +59,7 @@ from ..functions import urltools
 from ..sources import synthetic_web as sw
 from ..state.cuckoo import ShardedSeen, key64
 from ..state.politeness import CrawlSettings, HostShard, host_shard_of
-from ..stages.crawl_stages import (
-    RECORD_COLUMNS,
-    fetch_parse_batch,
-    link_check_batch,
-)
+from ..stages.round_stage import round_process_batch
 from . import crawl_logic
 from .crawl_logic import BlacklistState, GateState, NewPattern
 
@@ -93,6 +89,7 @@ class EngineResult:
     longest: list[tuple[int, str]]
     rounds: int
     documents_path: str | None
+    excluded_doc_ids: set[str] = field(default_factory=set)
 
     @property
     def seen_hashes(self) -> set[bytes]:
@@ -109,6 +106,8 @@ class EngineResult:
         return sorted(self.token_counts.items(), key=lambda x: (-x[1], x[0]))[:k]
 
     def documents(self) -> pa.Table | None:
+        """Gate-passed documents table: per-round parquet side-files minus
+        the (small) gate-suppressed exclusion set recorded at round end."""
         if self.documents_path is None or not os.path.exists(self.documents_path):
             return None
         parts = []
@@ -116,7 +115,14 @@ class EngineResult:
             d = os.path.join(self.documents_path, rd)
             for f in sorted(os.listdir(d)):
                 if f.endswith(".parquet"):
-                    parts.append(pq.read_table(os.path.join(d, f)))
+                    t = pq.read_table(os.path.join(d, f))
+                    if self.excluded_doc_ids:
+                        mask = pa.array([
+                            u not in self.excluded_doc_ids
+                            for u in t["doc_id"].to_pylist()
+                        ])
+                        t = t.filter(mask)
+                    parts.append(t)
         return pa.concat_tables(parts) if parts else None
 
 
@@ -131,6 +137,7 @@ class CrawlEngine:
         fetch_concurrency: int = 2,
         fetch_batch_size: int = 16,
         seen_buckets: int = 1 << 14,
+        inline_threshold: int = 128,
     ):
         self.web_cfg = web_cfg
         self.settings = settings or CrawlSettings()
@@ -140,14 +147,17 @@ class CrawlEngine:
         self.fetch_concurrency = fetch_concurrency
         self.fetch_batch_size = fetch_batch_size
         self.seen_buckets = seen_buckets
+        self.inline_threshold = inline_threshold
 
         self._pattern = self.settings.netloc_pattern()
         self.gate = GateState()
         self.blacklist = BlacklistState()
-        self.token_counts: dict[str, int] = {}
+        self._token_partials: list[pd.DataFrame] = []
+        self._excluded_docs_all: set[str] = set()
         self.longest: list[tuple[int, str]] = []
         self.fetch_seq = 0
         self.start_round = 0
+        self.timings: dict[str, float] = {}
 
         self.frontier = pd.DataFrame(
             {c: pd.Series(dtype=o) for c, o in zip(
@@ -207,6 +217,37 @@ class CrawlEngine:
             self.frontier = pd.concat([self.frontier, add_df], ignore_index=True)
         return len(rows)
 
+    def _add_rows_df(self, add_df: pd.DataFrame, round_k: int) -> int:
+        """Vectorized bulk-additions path: ``add_df`` arrives canonically
+        ordered and hash-deduplicated with columns
+        (url, url_hash, host, depth, parent_url)."""
+        if not len(add_df):
+            return 0
+        keys = np.frombuffer(
+            b"".join(h[:8] for h in add_df["url_hash"]), dtype=">u8"
+        ).astype(np.uint64)
+        seen_mask = self.seen.seen_or_add(keys)
+        new = add_df[~seen_mask]
+        if not len(new):
+            return 0
+        rows = pd.DataFrame({
+            "url": new["url"].values,
+            "url_hash": new["url_hash"].values,
+            "host": new["host"].values,
+            "depth": new["depth"].values.astype("int64"),
+            "parent_url": new["parent_url"].values,
+            "status": "pending",
+            "round_added": round_k,
+            "round_fetched": -1,
+            "fetch_seq": -1,
+        })
+        self.frontier = self.frontier[
+            ~(self.frontier.url_hash.isin(set(rows.url_hash))
+              & (self.frontier.status == "cancelled"))
+        ]
+        self.frontier = pd.concat([self.frontier, rows], ignore_index=True)
+        return len(rows)
+
     # ------------------------------------------------------------------
     def run(self, max_rounds: int | None = None,
             stop_after_round: int | None = None) -> EngineResult:
@@ -220,14 +261,28 @@ class CrawlEngine:
             rounds_done = round_k + 1
             self._run_round(round_k, pending)
             if self.ckpt_dir:
+                import time as _time
+
+                t0 = _time.perf_counter()
                 self._checkpoint(round_k)
+                self._t("checkpoint", t0)
             if stop_after_round is not None and round_k >= stop_after_round:
                 break
         return self._result(rounds_done)
 
     # ------------------------------------------------------------------
+    def _t(self, phase: str, t0: float) -> float:
+        import time as _time
+
+        now = _time.perf_counter()
+        self.timings[phase] = self.timings.get(phase, 0.0) + (now - t0)
+        return now
+
     def _run_round(self, round_k: int, pending: pd.DataFrame) -> None:
+        import time as _time
+
         settings = self.settings
+        t = _time.perf_counter()
 
         # ---- 1. politeness admission (host-shard actor pool) ----
         cands = pending.sort_values(["depth", "url"], kind="mergesort")
@@ -250,6 +305,7 @@ class CrawlEngine:
             taken[host] = k + 1 if ok else k
             admit_mask.append(ok)
         admitted = cands[admit_mask]
+        t = self._t("admit", t)
         if admitted.empty:
             return
 
@@ -262,31 +318,64 @@ class CrawlEngine:
         )
         self.fetch_seq += len(admitted)
 
-        # ---- 2. distributed fetch + parse ----
+        # ---- 2-4. ONE fused streaming execution per round ----
+        # fetch + parse + token partials + document side-writes + outlink
+        # checks (stages/round_stage.py); tiny rounds run the same function
+        # inline on the driver.
         in_tbl = pa.table({
             "seq": admitted["seq"].values,
             "url": admitted["url"].astype(str).values,
             "depth": admitted["depth"].values.astype("int32"),
             "parent_url": admitted["parent_url"].astype(str).values,
         })
-        n_blocks = max(1, min(self.fetch_concurrency * 2,
-                              len(admitted) // self.fetch_batch_size + 1))
-        parsed = (
-            ray.data.from_arrow(in_tbl)
-            .repartition(n_blocks)
-            .map_batches(
-                fetch_parse_batch,
-                fn_kwargs={"web_cfg": _cfg_dict(self.web_cfg)},
-                batch_format="pyarrow",
-                batch_size=self.fetch_batch_size,
-                num_cpus=0.5,
-            )
-            .materialize()
+        base_seq = self.fetch_seq - len(admitted)
+        doc_dir = (
+            os.path.join(self.ckpt_dir, "documents", f"round={round_k:05d}")
+            if self.ckpt_dir else None
         )
+        stage_kwargs = dict(
+            web_cfg=_cfg_dict(self.web_cfg),
+            blacklist_patterns=self.blacklist.patterns(),
+            settings=settings,
+            doc_dir=doc_dir,
+            base_seq=base_seq,
+        )
+        inline = len(admitted) <= self.inline_threshold
+        if inline:
+            ctbl = round_process_batch(in_tbl, **stage_kwargs)
+        else:
+            # 6× the slot count: fine-grained blocks keep the final wave's
+            # straggler tail short (the round barrier makes tails expensive)
+            n_blocks = max(1, min(self.fetch_concurrency * 4,
+                                  len(admitted) // self.fetch_batch_size + 1))
+            # pre-slice driver-side: Repartition is an all-to-all barrier with
+            # seconds of fixed cost; slicing an in-memory Arrow table is free
+            step = (len(in_tbl) + n_blocks - 1) // n_blocks
+            slices = [in_tbl.slice(i, step) for i in range(0, len(in_tbl), step)]
+            ds = (
+                ray.data.from_arrow(slices)
+                .map_batches(
+                    round_process_batch,
+                    fn_kwargs=stage_kwargs,
+                    batch_format="pyarrow",
+                    batch_size=None,       # whole blocks: block-level token
+                                           # partials + one doc side-file each
+                    num_cpus=1,
+                )
+                .materialize()
+            )
+            # zero-copy block gather; only needed columns become pandas below
+            ctbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+        t = self._t("fetch_parse", t)
 
         # ---- 3. sequential gates over compact records ----
+        kinds = ctbl["kind"]
         rec_df = (
-            parsed.select_columns(RECORD_COLUMNS).to_pandas()
+            ctbl.filter(pc.equal(kinds, "rec"))
+            .select(["seq", "url", "final_url", "status", "host", "depth",
+                     "parent_url", "empty", "tag_count", "is_sitemap",
+                     "n_tokens", "simhash", "title", "content_len"])
+            .to_pandas()
             .sort_values("seq", kind="mergesort")
         )
         is_blacklisted = self.blacklist.matcher()
@@ -315,68 +404,40 @@ class CrawlEngine:
                 expand_urls.add(rec.url)
             if d.count_host is not None:
                 host_count_inc[d.count_host] = host_count_inc.get(d.count_host, 0) + 1
+        t = self._t("gates", t)
 
-        # ---- metrics: distributed token counting (A3) ----
-        if tokenized_urls:
-            tok_urls = tokenized_urls
-            counts = (
-                parsed
-                .map_batches(
-                    _TokenFilterExplode(tok_urls), batch_format="pyarrow",
-                )
-                .groupby("token")
-                .sum("n")
-                .to_pandas()
-            )
-            for t, n in zip(counts["token"], counts["sum(n)"]):
-                self.token_counts[t] = self.token_counts.get(t, 0) + int(n)
-            self._round_token_delta = counts
-        else:
-            self._round_token_delta = pd.DataFrame({"token": [], "sum(n)": []})
+        # ---- token-count partials (A3): block-level rows, merged at end ----
+        partial = (
+            ctbl.filter(pc.equal(kinds, "tok")).select(["token", "n"]).to_pandas()
+        )
+        self._round_token_partial = partial
+        self._token_partials.append(partial)
 
-        # ---- documents output (gate-passed pages) ----
-        if self.ckpt_dir and passed_urls:
-            doc_dir = os.path.join(self.ckpt_dir, "documents", f"round={round_k:05d}")
-            seq_of = {u: s for u, s in zip(rec_df.url, rec_df.seq)}
-            base = self.fetch_seq - len(admitted)
-            pu = passed_urls
-            (
-                parsed
-                .map_batches(
-                    lambda t, _pu=pu, _so=seq_of, _b=base: _documents_batch(t, _pu, _so, _b),
-                    batch_format="pyarrow",
-                )
-                .write_parquet(doc_dir)
-            )
+        # ---- documents exclusions: the stage wrote the gate-passed SUPERSET;
+        # gate-suppressed pages are recorded and filtered at read time ----
+        excluded = sorted(u for u in tokenized_urls if u not in passed_urls)
+        self._round_excluded_docs = excluded
+        self._excluded_docs_all.update(excluded)
+        t = self._t("token_counts", t)
 
-        # ---- 4. distributed outlink checks ----
-        cand_rows = pd.DataFrame()
-        if expand_urls:
-            eu = expand_urls
-            cand_tbl = (
-                parsed
-                .map_batches(
-                    lambda t, _eu=eu: t.filter(
-                        pc.is_in(t["url"], value_set=pa.array(list(_eu)))),
-                    batch_format="pyarrow",
-                )
-                .select_columns(["seq", "url", "depth", "links"])
-                .map_batches(
-                    link_check_batch,
-                    fn_kwargs={
-                        "blacklist_patterns": self.blacklist.patterns(),
-                        "settings": settings,
-                    },
-                    batch_format="pyarrow",
-                    num_cpus=0.5,
-                )
-                .to_pandas()
-            )
-            cand_tbl = cand_tbl.sort_values(["seq", "link_idx"], kind="mergesort")
-            for row in cand_tbl[cand_tbl.row_kind == "trap"].itertuples(index=False):
-                new_patterns.append(
-                    NewPattern(row.pattern, row.reason, bool(row.temporary), cancel=True))
-            cand_rows = cand_tbl[cand_tbl.row_kind == "cand"]
+        # ---- 4. candidate outlinks, minus gate-suppressed pages ----
+        cand_tbl = (
+            ctbl.filter(pc.is_in(kinds, value_set=pa.array(["cand", "trap"])))
+            .select(["kind", "seq", "link_idx", "sorted_url", "orig_link",
+                     "norm_url", "url_hash", "host", "depth", "parent_url",
+                     "pattern", "reason", "temporary"])
+            .to_pandas()
+        )
+        if excluded:
+            seq_of_url = dict(zip(rec_df.url, rec_df.seq))
+            suppressed_seqs = {seq_of_url[u] for u in excluded}
+            cand_tbl = cand_tbl[~cand_tbl.seq.isin(suppressed_seqs)]
+        cand_tbl = cand_tbl.sort_values(["seq", "link_idx"], kind="mergesort")
+        for row in cand_tbl[cand_tbl.kind == "trap"].itertuples(index=False):
+            new_patterns.append(
+                NewPattern(row.pattern, row.reason, bool(row.temporary), cancel=True))
+        cand_rows = cand_tbl[cand_tbl.kind == "cand"]
+        t = self._t("link_check", t)
 
         # ---- 5. robots gate through host shards (canonical order) ----
         # gate-phase counts must land before link-phase robots creation
@@ -389,7 +450,7 @@ class CrawlEngine:
                 count_refs.append(shard.count_urls.remote(counts))
         ray.get(count_refs)
 
-        additions: list[tuple[str, int, str]] = []
+        n_additions = 0
         if len(cand_rows):
             cand_rows = cand_rows.sort_values(
                 ["sorted_url", "orig_link", "parent_url"], kind="mergesort")
@@ -397,14 +458,10 @@ class CrawlEngine:
                 dict() for _ in range(self.n_host_shards)
             ]
             depth_of_host: dict[str, int] = {}
-            parent_depth: dict[str, list] = {}
-            for row in cand_rows.itertuples(index=False):
-                links_by_shard[host_shard_of(row.host, self.n_host_shards)].setdefault(
-                    row.host, []).append((row.sorted_url, row.orig_link))
-                if row.host not in depth_of_host:
-                    depth_of_host[row.host] = int(row.depth)
-                parent_depth.setdefault(row.host, []).append(
-                    (row.sorted_url, int(row.depth), row.parent_url))
+            for host, g in cand_rows.groupby("host", sort=False):
+                links_by_shard[host_shard_of(host, self.n_host_shards)][host] = \
+                    list(zip(g["sorted_url"], g["orig_link"]))
+                depth_of_host[host] = int(g["depth"].iloc[0])
             bl_patterns = self.blacklist.patterns()
             refs = [
                 shard.filter_links.remote(lbs, bl_patterns)
@@ -414,22 +471,45 @@ class CrawlEngine:
             results: dict[str, dict] = {}
             for out in ray.get(refs):
                 results.update(out)
-            for host in sorted(results):
+            # robots-approved candidates, vectorized (mask per host in the
+            # same canonical order the shards received)
+            frames = []
+            sm_rows: list[tuple[str, int]] = []
+            for host, g in cand_rows.groupby("host", sort=False):
                 r = results[host]
+                frames.append(g[np.asarray(r["mask"], dtype=bool)])
                 for u in r["unchecked"] + r["checked"]:
-                    additions.append((u, depth_of_host[host], ""))
-                for (sorted_url, depth, parent), ok in zip(parent_depth[host], r["mask"]):
-                    if ok:
-                        additions.append((sorted_url, depth, parent))
+                    sm_rows.append((u, depth_of_host[host]))
+            cand_ok = pd.concat(frames) if frames else cand_rows.iloc[:0]
+            add_df = pd.DataFrame({
+                "raw_url": cand_ok["sorted_url"].values,
+                "parent_url": cand_ok["parent_url"].values,
+                "url": cand_ok["norm_url"].values,
+                "url_hash": cand_ok["url_hash"].values,
+                "host": cand_ok["host"].values,
+                "depth": cand_ok["depth"].values.astype("int64"),
+            })
+            if sm_rows:
+                sm = pd.DataFrame({
+                    "raw_url": [u for u, _ in sm_rows],
+                    "parent_url": ["" for _ in sm_rows],
+                    "url": [urltools.normalize(u) for u, _ in sm_rows],
+                    "depth": [d for _, d in sm_rows],
+                })
+                sm["url_hash"] = sm["url"].map(urltools.url_hash)
+                sm["host"] = sm["url"].map(urltools.url_host)
+                add_df = pd.concat([add_df, sm[add_df.columns]], ignore_index=True)
+            # ---- 6. frontier additions, first-seen-wins in canonical order
+            add_df = add_df.sort_values(["raw_url", "parent_url"], kind="mergesort")
+            add_df = add_df.drop_duplicates("url_hash", keep="first")
+            t = self._t("robots", t)
+            n_additions = self._add_rows_df(add_df, round_k + 1)
+            t = self._t("additions", t)
 
-        # ---- 6. frontier additions, first-seen-wins ----
-        additions.sort(key=lambda a: (a[0], a[2]))
-        self._add_rows(additions, round_k + 1)
-
-        # ---- 7. round boundary: blacklist growth + cancel ----
+        # ---- 7. round boundary: blacklist growth + cancel (frontier.py:80-92)
         self._round_lineage = dict(
             round=round_k, rows_in=len(cands), urls_fetched=len(admitted),
-            rows_out=len(additions),
+            rows_out=n_additions,
             bytes=int(rec_df["content_len"].sum()),
         )
         for p in new_patterns:
@@ -445,6 +525,7 @@ class CrawlEngine:
                     ]
                     self.seen.delete(np.array(cancelled_hashes, dtype=np.uint64))
                     self.frontier.loc[hits, "status"] = "cancelled"
+        self._t("boundary", t)
 
     # ------------------------------------------------------------------
     def _checkpoint(self, round_k: int) -> None:
@@ -482,12 +563,16 @@ class CrawlEngine:
             json.dump(host_snaps, f)
         with open(os.path.join(rd, "seen_shards.pkl"), "wb") as f:
             pickle.dump(self.seen.serialize(), f)
-        delta = self._round_token_delta
+        delta = self._round_token_partial
         pq.write_table(
-            pa.table({"token": delta["token"].astype(str).tolist() if len(delta) else [],
-                      "n": [int(x) for x in delta["sum(n)"]] if len(delta) else []}),
-            os.path.join(rd, "token_delta.parquet"),
+            pa.table({"token": pa.array(delta["token"].astype(str).tolist()
+                                        if len(delta) else [], type=pa.string()),
+                      "n": pa.array([int(x) for x in delta["n"]]
+                                    if len(delta) else [], type=pa.int64())}),
+            os.path.join(rd, "token_partials.parquet"),
         )
+        with open(os.path.join(rd, "excluded_docs.json"), "w") as f:
+            json.dump(self._round_excluded_docs, f)
         lin = getattr(self, "_round_lineage", None)
         if lin:
             pq.write_table(pa.table({k: [v] for k, v in lin.items()}),
@@ -518,8 +603,10 @@ class CrawlEngine:
         self.fetch_concurrency = kwargs.get("fetch_concurrency", 4)
         self.fetch_batch_size = kwargs.get("fetch_batch_size", 16)
         self.seen_buckets = kwargs.get("seen_buckets", 1 << 14)
+        self.inline_threshold = kwargs.get("inline_threshold", 128)
         self._pattern = self.settings.netloc_pattern()
         self.start_round = round_k + 1
+        self.timings = {}
 
         fr = pq.read_table(os.path.join(rd, "frontier.parquet")).to_pandas()
         fr["url_hash"] = fr["url_hash"].map(bytes)
@@ -547,11 +634,15 @@ class CrawlEngine:
         self.blacklist = BlacklistState(
             permanent=dict(b["permanent"]), temp=set(b["temp"]))
 
-        self.token_counts = {}
+        self._token_partials = []
+        self._excluded_docs_all = set()
         for r in rounds:
-            td = pq.read_table(os.path.join(ckpt_dir, r, "token_delta.parquet"))
-            for t, n in zip(td["token"].to_pylist(), td["n"].to_pylist()):
-                self.token_counts[t] = self.token_counts.get(t, 0) + int(n)
+            td = pq.read_table(os.path.join(ckpt_dir, r, "token_partials.parquet"))
+            self._token_partials.append(td.to_pandas())
+            exf = os.path.join(ckpt_dir, r, "excluded_docs.json")
+            if os.path.exists(exf):
+                with open(exf) as f:
+                    self._excluded_docs_all.update(json.load(f))
 
         with open(os.path.join(rd, "seen_shards.pkl"), "rb") as f:
             blobs = pickle.load(f)
@@ -570,6 +661,12 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _result(self, rounds_done: int) -> EngineResult:
+        if self._token_partials:
+            allp = pd.concat(self._token_partials, ignore_index=True)
+            merged = allp.groupby("token", sort=False)["n"].sum()
+            token_counts = {t: int(n) for t, n in merged.items()}
+        else:
+            token_counts = {}
         host_snaps: dict[str, dict] = {}
         for snap in ray.get([s.snapshot.remote() for s in self.host_shards]):
             host_snaps.update(snap)
@@ -580,45 +677,14 @@ class CrawlEngine:
             gate=self.gate,
             blacklist=self.blacklist,
             host_snapshots=host_snaps,
-            token_counts=self.token_counts,
+            token_counts=token_counts,
             longest=self.longest,
             rounds=rounds_done,
             documents_path=(
                 os.path.join(self.ckpt_dir, "documents") if self.ckpt_dir else None
             ),
+            excluded_doc_ids=set(self._excluded_docs_all),
         )
-
-
-class _TokenFilterExplode:
-    """Parsed rows → (token, n) partial counts for tokenized pages.
-    Per-batch pre-aggregation before the global groupby (SURVEY.md §2.5 A3)."""
-
-    def __init__(self, tokenized_urls: set[str]):
-        self.urls = tokenized_urls
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for url, tokens in zip(batch["url"].to_pylist(), batch["tokens"].to_pylist()):
-            if url in self.urls:
-                for t in tokens:
-                    counts[t] = counts.get(t, 0) + 1
-        return pa.table({
-            "token": list(counts.keys()),
-            "n": pa.array(list(counts.values()), type=pa.int64()),
-        })
-
-
-def _documents_batch(t: pa.Table, passed: set[str], seq_of: dict, base_seq: int) -> pa.Table:
-    mask = pc.is_in(t["url"], value_set=pa.array(list(passed)))
-    t = t.filter(mask)
-    crawl_seq = pa.array(
-        [base_seq + seq_of[u] for u in t["url"].to_pylist()], type=pa.int64())
-    return pa.table({
-        "doc_id": t["url"],
-        "spans": t["spans"],
-        "title": t["title"],
-        "crawl_seq": crawl_seq,
-    })
 
 
 def _update_longest(longest: list[tuple[int, str]], n: int, url: str) -> None:

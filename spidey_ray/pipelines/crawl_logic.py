@@ -113,19 +113,49 @@ def is_low_value(tag_count: int, token_count: int) -> bool:
     return token_count < 150
 
 
+_LITERAL_RE = re.compile(r"\^(.*?)(\??)\$$", re.DOTALL)
+
+
+class CompiledBlacklist:
+    """Matcher over blacklist patterns with the same semantics as
+    ``any(re.match(p, url))`` but O(1) for the dominant exact-URL patterns
+    (scraper.py:364-367 emits ``^<re.escape(url)>/?$`` shapes — at crawl
+    scale these are thousands of entries and a per-link regex scan is the
+    reference's real bottleneck).  Wildcard patterns (traps, query traps)
+    compile into one alternation regex."""
+
+    def __init__(self, patterns: list[str]):
+        self.exact: set[str] = set()
+        wild: list[str] = []
+        for p in patterns:
+            m = _LITERAL_RE.fullmatch(p)
+            lit = None
+            if m:
+                candidate = re.sub(r"\\(.)", r"\1", m.group(1))
+                if "^" + re.escape(candidate) + m.group(2) + "$" == p:
+                    lit = candidate
+            if lit is not None:
+                self.exact.add(lit)
+                if m.group(2):  # trailing '?' makes the final char optional
+                    self.exact.add(lit[:-1])
+            else:
+                wild.append(p)
+        self.rx = re.compile("|".join(f"(?:{p})" for p in wild)) if wild else None
+
+    def __call__(self, url: str) -> bool:
+        if url in self.exact:
+            return True
+        return bool(self.rx and self.rx.match(url))
+
+
 @dataclass
 class BlacklistState:
     """Permanent + temporary regex blacklists (scraper.py:37-38, 556-568)."""
     permanent: dict[str, str] = field(default_factory=dict)   # pattern -> reason
     temp: set[str] = field(default_factory=set)
 
-    def matcher(self):
-        compiled = [re.compile(p) for p in list(self.permanent) + sorted(self.temp)]
-
-        def is_blacklisted(u: str) -> bool:
-            return any(c.match(u) for c in compiled)
-
-        return is_blacklisted
+    def matcher(self) -> CompiledBlacklist:
+        return CompiledBlacklist(self.patterns())
 
     def patterns(self) -> list[str]:
         return list(self.permanent) + sorted(self.temp)

@@ -137,6 +137,8 @@ CANDIDATE_SCHEMA = pa.schema(
         ("row_kind", pa.string()),     # 'cand' | 'trap'
         ("sorted_url", pa.string()),
         ("orig_link", pa.string()),
+        ("norm_url", pa.string()),     # normalize(sorted_url) — frontier form
+        ("url_hash", pa.binary()),     # SHA-1 of the normalized canonical URL
         ("host", pa.string()),
         ("depth", pa.int32()),
         ("parent_url", pa.string()),
@@ -153,12 +155,11 @@ class LinkCheckStage:
     canonical emission order of the serial semantics."""
 
     def __init__(self, blacklist_patterns: list[str], settings: CrawlSettings):
-        self.compiled = [re.compile(p) for p in blacklist_patterns]
+        from ..pipelines.crawl_logic import CompiledBlacklist
+
+        self._is_blacklisted = CompiledBlacklist(blacklist_patterns)
         self.pattern = settings.netloc_pattern()
         self.threshold = settings.path_repeat_threshold
-
-    def _is_blacklisted(self, u: str) -> bool:
-        return any(c.match(u) for c in self.compiled)
 
     def _is_valid(self, u: str) -> bool:
         return urltools.is_valid(u, self.pattern)
@@ -168,11 +169,14 @@ class LinkCheckStage:
 
         def emit(seq, link_idx, row_kind, sorted_url="", orig="", host="",
                  depth=0, parent="", pattern="", reason="", temporary=False):
+            norm = urltools.normalize(sorted_url) if sorted_url else ""
             out["seq"].append(seq)
             out["link_idx"].append(link_idx)
             out["row_kind"].append(row_kind)
             out["sorted_url"].append(sorted_url)
             out["orig_link"].append(orig)
+            out["norm_url"].append(norm)
+            out["url_hash"].append(urltools.url_hash(norm) if norm else b"")
             out["host"].append(host)
             out["depth"].append(depth)
             out["parent_url"].append(parent)

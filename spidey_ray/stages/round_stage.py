@@ -1,0 +1,233 @@
+"""The fused per-round crawl stage: fetch + parse + token partials +
+document side-writes + outlink checks in ONE ``map_batches`` pass.
+
+Why fused: a crawl round previously ran four Dataset executions (parse,
+token groupby, documents write, link check) and each execution carries
+~0.5-2 s of fixed cost — at 9 rounds that fixed cost dominated the whole
+crawl and killed N→4N scaling.  Everything the reference computes per page
+before the ORDER-DEPENDENT gates is stage-computable:
+
+- ``tokenized`` (reached scraper.py:441's tokenizer) depends only on the
+  response, the ROUND-START blacklist and pure predicates
+  (scraper.py:413-426) — all shipped to the stage,
+- ``doc_candidate`` (passed the redirect checks) is the superset of the
+  gate-passed pages; the driver's sequential gate machine then yields the
+  (small) suppressed set, and the driver drops those pages' candidate
+  links / trap emissions and records their doc_ids as exclusions for the
+  documents table.
+
+Output: one union-typed Arrow table with a ``kind`` discriminator:
+  'rec'  — compact per-page record (driver gate input)
+  'tok'  — block-level (token, n) partials over tokenized pages
+  'cand' — checked outlink candidates (with normalized url + SHA-1 hash)
+  'trap' — repeating-path trap pattern emissions (scraper.py:581-609)
+Documents rows (doc_id, spans, title, crawl_seq) are written as parquet
+side-files named by the block's first seq — idempotent under task retry.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import urltools
+from ..pipelines.crawl_logic import CompiledBlacklist, check_outlink, parse_fetch
+from ..sources import synthetic_web as sw
+from ..state.politeness import CrawlSettings
+
+SPAN_TYPE = pa.list_(
+    pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+)
+
+ROUND_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("seq", pa.int64()),
+        ("link_idx", pa.int64()),
+        # 'rec' columns
+        ("url", pa.string()),
+        ("final_url", pa.string()),
+        ("status", pa.int32()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("parent_url", pa.string()),
+        ("empty", pa.bool_()),
+        ("tag_count", pa.int32()),
+        ("is_sitemap", pa.bool_()),
+        ("n_tokens", pa.int64()),
+        ("simhash", pa.uint64()),
+        ("title", pa.string()),
+        ("content_len", pa.int64()),
+        # 'tok' columns
+        ("token", pa.string()),
+        ("n", pa.int64()),
+        # 'cand' columns
+        ("sorted_url", pa.string()),
+        ("orig_link", pa.string()),
+        ("norm_url", pa.string()),
+        ("url_hash", pa.binary()),
+        # 'trap' columns
+        ("pattern", pa.string()),
+        ("reason", pa.string()),
+        ("temporary", pa.bool_()),
+    ]
+)
+
+_EMPTY = {
+    "seq": 0, "link_idx": 0, "url": "", "final_url": "", "status": 0,
+    "host": "", "depth": 0, "parent_url": "", "empty": False, "tag_count": 0,
+    "is_sitemap": False, "n_tokens": 0, "simhash": 0, "title": "",
+    "content_len": 0, "token": "", "n": 0, "sorted_url": "", "orig_link": "",
+    "norm_url": "", "url_hash": b"", "pattern": "", "reason": "",
+    "temporary": False,
+}
+
+DOCS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans", SPAN_TYPE),
+        ("title", pa.string()),
+        ("crawl_seq", pa.int64()),
+    ]
+)
+
+
+def round_process_batch(
+    batch: pa.Table,
+    web_cfg: dict,
+    blacklist_patterns: list[str],
+    settings: CrawlSettings,
+    doc_dir: str | None,
+    base_seq: int,
+) -> pa.Table:
+    cfg = sw.WebConfig(**web_cfg)
+    is_blacklisted = CompiledBlacklist(blacklist_patterns)
+    netloc = settings.netloc_pattern()
+
+    def is_valid(u: str) -> bool:
+        return urltools.is_valid(u, netloc)
+
+    # per-kind accumulation; the union table is assembled in bulk at the end
+    rec_rows: dict[str, list] = {k: [] for k in (
+        "seq", "url", "final_url", "status", "host", "depth", "parent_url",
+        "empty", "tag_count", "is_sitemap", "n_tokens", "simhash", "title",
+        "content_len")}
+    cand_rows_: dict[str, list] = {k: [] for k in (
+        "seq", "link_idx", "sorted_url", "orig_link", "norm_url", "url_hash",
+        "host", "depth", "parent_url")}
+    trap_rows: dict[str, list] = {k: [] for k in (
+        "seq", "link_idx", "pattern", "reason", "temporary")}
+
+    tok_partial: dict[str, int] = {}
+    doc_rows: dict[str, list] = {n: [] for n in DOCS_SCHEMA.names}
+    first_seq = None
+
+    for seq, url, depth, parent in zip(
+        batch["seq"].to_pylist(), batch["url"].to_pylist(),
+        batch["depth"].to_pylist(), batch["parent_url"].to_pylist(),
+    ):
+        if first_seq is None or seq < first_seq:
+            first_seq = seq
+        page = sw.fetch(cfg, url)
+        rec, spans, tokens = parse_fetch(
+            url, page.final_url, page.status, page.content, depth, parent)
+        r = rec_rows
+        r["seq"].append(seq)
+        r["url"].append(rec.url)
+        r["final_url"].append(rec.final_url)
+        r["status"].append(rec.status)
+        r["host"].append(rec.host)
+        r["depth"].append(rec.depth)
+        r["parent_url"].append(rec.parent_url)
+        r["empty"].append(rec.empty)
+        r["tag_count"].append(rec.tag_count)
+        r["is_sitemap"].append(rec.is_sitemap)
+        r["n_tokens"].append(rec.n_tokens)
+        r["simhash"].append(rec.simhash)
+        r["title"].append(rec.title)
+        r["content_len"].append(len(page.content))
+
+        if rec.empty:
+            continue
+        # stage-side mirror of the redirect checks (scraper.py:420-426);
+        # the driver's gate machine recomputes these identically and owns
+        # the pattern emissions
+        if rec.final_url != rec.url:
+            if is_blacklisted(rec.final_url) or not is_valid(rec.final_url):
+                continue
+            if urltools.trap_patterns(
+                    rec.final_url, settings.path_repeat_threshold)[0]:
+                continue
+
+        # doc candidate (gate-passed superset)
+        doc_rows["doc_id"].append(rec.url)
+        doc_rows["spans"].append(spans)
+        doc_rows["title"].append(rec.title)
+        doc_rows["crawl_seq"].append(base_seq + seq)
+
+        if not rec.is_sitemap:
+            for t in tokens:
+                tok_partial[t] = tok_partial.get(t, 0) + 1
+
+        # outlink checks (pure part of allurlchecks, scraper.py:357-358)
+        for li, link in enumerate(rec.links):
+            sortedq = urltools.sort_by_query(link)
+            ok, pats = check_outlink(
+                sortedq, is_valid, is_blacklisted, settings.path_repeat_threshold)
+            for p in pats:
+                trap_rows["seq"].append(seq)
+                trap_rows["link_idx"].append(li)
+                trap_rows["pattern"].append(p.pattern)
+                trap_rows["reason"].append(p.reason)
+                trap_rows["temporary"].append(p.temporary)
+            if ok:
+                norm = urltools.normalize(sortedq)
+                c = cand_rows_
+                c["seq"].append(seq)
+                c["link_idx"].append(li)
+                c["sorted_url"].append(sortedq)
+                c["orig_link"].append(link)
+                c["norm_url"].append(norm)
+                c["url_hash"].append(urltools.url_hash(norm))
+                c["host"].append(urltools.url_host(sortedq))
+                c["depth"].append(depth + 1)
+                c["parent_url"].append(rec.url)
+
+    if doc_dir is not None and doc_rows["doc_id"]:
+        os.makedirs(doc_dir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pydict(doc_rows, schema=DOCS_SCHEMA),
+            os.path.join(doc_dir, f"part-{first_seq:09d}.parquet"),
+        )
+
+    # assemble the union table in bulk: one sub-table per kind with default
+    # fill columns, concatenated under the unified schema
+    def sub_table(kind: str, present: dict[str, list]) -> pa.Table:
+        n = len(next(iter(present.values()))) if present else 0
+        arrays = []
+        for fieldx in ROUND_SCHEMA:
+            name = fieldx.name
+            if name == "kind":
+                arrays.append(pa.array([kind] * n, type=pa.string()))
+            elif name in present:
+                arrays.append(pa.array(present[name], type=fieldx.type))
+            else:
+                arrays.append(pa.array([_EMPTY[name]] * n, type=fieldx.type))
+        return pa.Table.from_arrays(arrays, schema=ROUND_SCHEMA)
+
+    parts = [sub_table("rec", rec_rows)]
+    if tok_partial:
+        parts.append(sub_table("tok", {
+            "token": list(tok_partial.keys()),
+            "n": list(tok_partial.values()),
+        }))
+    if cand_rows_["seq"]:
+        parts.append(sub_table("cand", cand_rows_))
+    if trap_rows["seq"]:
+        parts.append(sub_table("trap", trap_rows))
+    return pa.concat_tables(parts)

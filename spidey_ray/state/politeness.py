@@ -194,12 +194,9 @@ class HostShard:
         ``blacklist_patterns`` is the round-start blacklist, needed for the
         reference's ``allurlchecks`` on non-txt sitemap URLs (scraper.py:89).
         """
-        import re
+        from ..pipelines.crawl_logic import CompiledBlacklist
 
-        compiled = [re.compile(p) for p in blacklist_patterns]
-
-        def blacklisted(u: str) -> bool:
-            return any(c.match(u) for c in compiled)
+        blacklisted = CompiledBlacklist(blacklist_patterns)
 
         def allurlchecks(u: str) -> bool:
             return (

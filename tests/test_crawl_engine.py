@@ -78,6 +78,26 @@ class TestEngineMatchesOracle:
         assert any("list" in p for p in oracle_result.blacklist.temp)
 
 
+class TestDistributedPath:
+    def test_forced_distributed_matches_oracle(self, ray_session, small_web,
+                                               oracle_result, tmp_path):
+        """inline_threshold=0 forces every round through the streaming
+        executor — the distributed fused stage must match the oracle too."""
+        from spidey_ray.pipelines.crawl import CrawlEngine
+
+        res = CrawlEngine(small_web, ckpt_dir=str(tmp_path / "ck"),
+                          inline_threshold=0).run()
+        assert res.fetch_log == oracle_result.fetch_log
+        assert res.seen_hashes == oracle_result.seen_hashes
+        assert res.token_counts == oracle_result.token_counts
+        docs = res.documents()
+        got = {d: s for d, s in zip(docs["doc_id"].to_pylist(),
+                                    docs["spans"].to_pylist())}
+        assert set(got) == set(oracle_result.documents)
+        for k, v in got.items():
+            assert v == oracle_result.documents[k], k
+
+
 class TestResume:
     def test_resume_from_checkpoint_identical(self, ray_session, small_web, tmp_path):
         from spidey_ray.pipelines.crawl import CrawlEngine
