@@ -1,0 +1,248 @@
+"""Unit tests for the training-data operator library: dedup family,
+similarity search, text analysis, multimodal plumbing, page ingest."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from a warm windowsill and the birds sing in the garden trees "
+        "every single morning before the sun rises over the quiet hills"
+    )
+    rows = []
+    for i in range(20):
+        rows.append({"doc_id": i, "text": f"{base} unique marker {i} appears here"})
+    # near-dup cluster: 20/21/22 share almost all shingles
+    rows.append({"doc_id": 21, "text": rows[0]["text"]})
+    rows.append({"doc_id": 22, "text": rows[0]["text"] + " tiny tail"})
+    # exact dup of doc 5
+    rows.append({"doc_id": 30, "text": rows[5]["text"]})
+    return ray.data.from_items(rows)
+
+
+class TestExactDedup:
+    def test_exact_dedup_keeps_min_id(self, docs_ds):
+        from spidey_ray.stages.dedup import exact_dedup
+
+        out = exact_dedup(docs_ds).to_pandas()
+        assert 30 not in set(out["doc_id"])       # exact dup of 5
+        assert 21 not in set(out["doc_id"])       # exact dup of 0
+        assert {0, 5, 22} <= set(out["doc_id"])
+        assert len(out) == 21  # 23 rows minus two exact dups
+
+
+class TestMinHash:
+    def test_lsh_finds_planted_near_dups(self, docs_ds):
+        from spidey_ray.stages.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(docs_ds, threshold=0.7).to_pandas()
+        found = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+        assert (0, 21) in found        # identical text
+        assert (0, 22) in found or (21, 22) in found
+
+    def test_dedup_removes_cluster_keeps_min(self, docs_ds):
+        from spidey_ray.stages.dedup import minhash_dedup
+
+        kept = set(minhash_dedup(docs_ds, threshold=0.7).to_pandas()["doc_id"])
+        assert 0 in kept
+        assert 21 not in kept
+
+    def test_signature_estimates_jaccard(self):
+        from spidey_ray.stages.dedup import (
+            _perm_params, minhash_signature, shingle_hashes)
+
+        a, b = _perm_params(128)
+        s1 = shingle_hashes("a b c d e f g h i j k l m n o p", 3)
+        s2 = shingle_hashes("a b c d e f g h i j k l m n o q", 3)
+        sig1 = minhash_signature(s1, a, b)
+        sig2 = minhash_signature(s2, a, b)
+        est = (sig1 == sig2).mean()
+        inter = len(set(s1) & set(s2))
+        union = len(set(s1) | set(s2))
+        assert abs(est - inter / union) < 0.2
+
+    def test_union_find_resolution(self):
+        import pandas as pd
+
+        from spidey_ray.stages.dedup import resolve_duplicates
+
+        labels = resolve_duplicates(
+            pd.DataFrame({"doc_a": [1, 2, 7], "doc_b": [2, 3, 9]}))
+        assert labels[3] == 1 and labels[2] == 1
+        assert labels[9] == 7
+
+
+class TestSimhashPairs:
+    def test_identical_docs_pair(self, docs_ds):
+        from spidey_ray.stages.dedup import simhash_pairs
+
+        pairs = simhash_pairs(docs_ds, max_hamming=3).to_pandas()
+        found = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+        assert (5, 30) in found        # exact dup → hamming 0
+        assert all(h <= 3 for h in pairs["hamming"])
+
+
+class TestNgramJaccard:
+    def test_exact_jaccard_verified(self, docs_ds):
+        from spidey_ray.stages.dedup import ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(docs_ds, threshold=0.6).to_pandas()
+        d = {(a, b): j for a, b, j in
+             zip(pairs["doc_a"], pairs["doc_b"], pairs["jaccard"])}
+        assert d.get((0, 21)) == 1.0   # identical shingle sets
+
+
+class TestEmbeddingOps:
+    @pytest.fixture(scope="class")
+    def emb_ds(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for i in range(60):
+            rows.append({"vec_id": i,
+                         "embedding": rng.standard_normal(16).tolist()})
+        # planted near-dup of vec 0
+        v0 = np.asarray(rows[0]["embedding"])
+        rows.append({"vec_id": 100,
+                     "embedding": (v0 + rng.normal(0, 0.01, 16)).tolist()})
+        return ray.data.from_items(rows)
+
+    def test_cosine_topk_exact(self, emb_ds):
+        from spidey_ray.stages.similarity import cosine_topk
+
+        df = emb_ds.to_pandas()
+        mat = np.array(df["embedding"].tolist())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        q = mat[0]
+        expected = df["vec_id"].values[np.argsort(-(mat @ q), kind="stable")][:5]
+        out = cosine_topk(emb_ds, q, k=5).to_pandas()
+        assert list(out.sort_values("rank")["vec_id"]) == list(expected)
+
+    def test_embedding_dup_pairs_finds_planted(self, emb_ds):
+        from spidey_ray.stages.dedup import embedding_dup_pairs
+
+        pairs = embedding_dup_pairs(emb_ds, threshold=0.95).to_pandas()
+        assert (0, 100) in set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+
+    def test_ivf_recall(self, emb_ds):
+        from spidey_ray.stages.similarity import IvfIndex, cosine_topk
+
+        df = emb_ds.to_pandas()
+        q = np.asarray(df["embedding"].iloc[3])
+        idx = IvfIndex(n_lists=4, n_probe=4).build(emb_ds)  # probe-all = exact
+        ann = [v for v, _ in idx.search(q, k=5)]
+        exact = list(cosine_topk(emb_ds, q, k=5).to_pandas()
+                     .sort_values("rank")["vec_id"])
+        assert ann == exact
+
+
+class TestTextStats:
+    def test_language_id_on_real_samples(self):
+        # the driver testdata's lang column is synthetic (all rows are
+        # English-ish jargon), so test the heuristic on genuine samples
+        from spidey_ray.stages.textstats import language_id_batch
+
+        samples = [
+            ("en", "the cat is on the mat and this is a test of the system "
+                   "that we are going to run for a while"),
+            ("de", "der hund ist nicht mit der katze und das ist eine frage "
+                   "für den mann mit dem großen haus"),
+            ("es", "el perro es una mascota que vive con los niños en la casa "
+                   "grande para que todos sean felices"),
+            ("fr", "le chien est dans le jardin et les enfants sont dans la "
+                   "maison pour que tout soit calme"),
+            ("zh", "这是一个测试句子，用来验证语言识别的功能是否正常工作，我们希望它可以检测中文。"),
+        ]
+        t = pa.table({
+            "doc_id": list(range(len(samples))),
+            "text": [s for _, s in samples],
+        })
+        out = language_id_batch(t)
+        assert out["pred_lang"].to_pylist() == [lang for lang, _ in samples]
+
+    def test_token_counts_and_fingerprints_deterministic(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.textstats import fingerprint_batch, token_count_batch
+
+        rows = [{"doc_id": 0, "text": "one two three. four!"}]
+        t = pa.Table.from_pylist(rows)
+        tc = token_count_batch(t)
+        assert tc["n_ws_tokens"][0].as_py() == 4
+        assert tc["n_tokens"][0].as_py() == 4
+        assert tc["n_bpe_tokens"][0].as_py() == 6  # words + '.' + '!'
+        f1 = fingerprint_batch(t)
+        f2 = fingerprint_batch(t)
+        assert f1["fp_full"][0].as_py() == f2["fp_full"][0].as_py() != 0
+
+    def test_quality_features(self):
+        from spidey_ray.stages.textstats import quality_score_batch
+
+        t = pa.Table.from_pylist(
+            [{"doc_id": 0, "text": "the cat sat on the mat with a hat"}])
+        out = quality_score_batch(t)
+        assert 0 < out["stop_ratio"][0].as_py() < 1
+        assert out["quality"][0].as_py() <= 1.0
+
+
+class TestMultimodal:
+    def test_decode_pipeline(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.multimodal import media_feature_pipeline
+
+        refs = ray.data.from_items(
+            [{"media_ref": f"img://x/{i}"} for i in range(10)])
+        out = media_feature_pipeline(refs).to_pandas()
+        assert len(out) == 10
+        assert (out["width"] >= 8).all() and (out["height"] >= 8).all()
+        assert out["pix_mean"].between(0, 255).all()
+
+    def test_decode_deterministic(self):
+        from spidey_ray.stages.multimodal import _decode_fake, synth_payload
+
+        w1, h1, px1 = _decode_fake(synth_payload("img://a"))
+        w2, h2, px2 = _decode_fake(synth_payload("img://a"))
+        assert (w1, h1) == (w2, h2) and (px1 == px2).all()
+
+    def test_resize(self):
+        from spidey_ray.stages.multimodal import (
+            _decode_fake, resize_batch, synth_payload)
+
+        t = pa.table({"media_ref": ["img://a"],
+                      "payload": [synth_payload("img://a")]})
+        out = resize_batch(t, target=8)
+        w, h, px = _decode_fake(out["payload"][0].as_py())
+        assert (w, h) == (8, 8) and px.shape == (8, 8)
+
+    def test_real_codec_path_raises_without_pillow(self):
+        from spidey_ray.stages.multimodal import MediaDecodeStage
+
+        with pytest.raises(NotImplementedError):
+            MediaDecodeStage(allow_real_codecs=True)
+
+
+class TestIngest:
+    def test_pages_to_documents_matches_parser(self, ray_session):
+        import ray.data
+
+        from spidey_ray.functions.htmlspans import parse_document, spans_to_pylist
+        from spidey_ray.pipelines.ingest import documents_from_pages
+
+        html = ("<html><head><title>T</title></head><body><h1>Head</h1>"
+                "<p>Body text</p><a href='/x'>go</a></body></html>")
+        pages = [{"content": html, "encoding": "utf-8",
+                  "url": "https://h0.example.com/a#frag"}]
+        out = documents_from_pages(ray.data.from_items(pages)).to_pandas()
+        assert out["doc_id"][0] == "https://h0.example.com/a"  # defragged
+        expected = spans_to_pylist(
+            parse_document(html, "https://h0.example.com/a").spans)
+        assert list(out["spans"][0]) == expected
+        assert out["title"][0] == "T"
