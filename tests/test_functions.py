@@ -223,6 +223,30 @@ class TestSpanParser:
         assert doc.spans[0].offset == 0
         assert doc.spans[1].offset == 6  # "ab " + "cd " = 6 chars
 
+    def test_entities_converted(self):
+        html = "<html><body><p>A &amp; B &lt;ok&gt;</p></body></html>"
+        doc = parse_document(html, "https://h.example.com/a")
+        assert doc.spans[0].text == "A & B <ok>"
+
+    def test_nested_inline_tags_split_text_nodes(self):
+        # bs4 semantics: each text node keyed by its direct parent
+        html = "<html><body><p>alpha <b>bold</b> omega</p></body></html>"
+        doc = parse_document(html, "https://h.example.com/a")
+        assert [(s.kind, s.text) for s in doc.spans] == [
+            ("p", "alpha"), ("b", "bold"), ("p", "omega")]
+
+    def test_script_with_markup_inside(self):
+        html = ("<html><body><script>var x = '<div>nope</div>';</script>"
+                "<p>real</p></body></html>")
+        doc = parse_document(html, "https://h.example.com/a")
+        assert [(s.kind, s.text) for s in doc.spans] == [("p", "real")]
+
+    def test_comment_splits_text_nodes(self):
+        html = "<html><body><p>one<!-- c -->two</p></body></html>"
+        doc = parse_document(html, "https://h.example.com/a")
+        assert [(s.kind, s.text) for s in doc.spans] == [
+            ("p", "one"), ("p", "two")]
+
     def test_sitemap_loc(self):
         xml = "<?xml version='1.0'?><urlset><url><loc>https://h.example.com/p/1</loc></url></urlset>"
         doc = parse_document(xml, "https://h.example.com/sitemap.xml")
