@@ -98,6 +98,29 @@ class TestDistributedPath:
             assert v == oracle_result.documents[k], k
 
 
+class TestMediumWeb:
+    def test_medium_web_distributed_equality(self, ray_session, tmp_path):
+        """24 hosts × 20 pages, forced distributed, multi-wave rounds —
+        ordering bugs that only appear with bigger rounds must not exist."""
+        from spidey_ray.pipelines.crawl import CrawlEngine
+        from spidey_ray.pipelines.oracle import crawl_serial
+
+        cfg = WebConfig(n_hosts=24, pages_per_host=20, n_seeds=8)
+        o = crawl_serial(cfg)
+        e = CrawlEngine(cfg, ckpt_dir=str(tmp_path / "ck"), inline_threshold=0,
+                        n_seen_shards=4, n_host_shards=3).run()
+        assert e.fetch_log == o.fetch_log
+        assert e.seen_hashes == o.seen_hashes
+        assert e.token_counts == o.token_counts
+        assert dict(e.blacklist.permanent) == dict(o.blacklist.permanent)
+        docs = e.documents()
+        got = {d: s for d, s in zip(docs["doc_id"].to_pylist(),
+                                    docs["spans"].to_pylist())}
+        assert set(got) == set(o.documents)
+        for k in got:
+            assert got[k] == o.documents[k], k
+
+
 class TestResume:
     def test_resume_from_checkpoint_identical(self, ray_session, small_web, tmp_path):
         from spidey_ray.pipelines.crawl import CrawlEngine
