@@ -367,6 +367,45 @@ def q_events_filter(sf_dir: str):
         )
 
 
+def q_sessionize(sf_dir: str):
+    """Session windows over the events stream (30-min gap)."""
+    from spidey_ray.stages.windows import sessionize
+
+    out = sessionize(
+        _read(sf_dir, "events", ["user_id", "ts"]), "user_id", "ts",
+        gap_seconds=1800,
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["session_id"] = out["session_id"].astype("int64")
+    out["session_start_us"] = out["session_start_us"].astype("int64")
+    return out
+
+
+def q_asof_join(sf_dir: str):
+    """For each purchase, the user's latest click at-or-before it."""
+    from spidey_ray.stages.windows import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase"))
+        .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click"))
+        .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+    out = asof_join(purchases, clicks, key="user_id", ts_col="ts").to_pandas()
+    out["purchase_epoch_us"] = (
+        (out["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+    ).astype("int64")
+    out = out.rename(columns={"event_id": "purchase_id",
+                              "event_id_right": "click_id"})
+    out["purchase_id"] = out["purchase_id"].astype("int64")
+    out["click_id"] = out["click_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out[["purchase_id", "user_id", "purchase_epoch_us", "click_id"]]
+
+
 def q_quality_stop_ratio(sf_dir: str):
     """Stopword-ratio quality signal in integer basis points — integer
     arithmetic on both sides so the oracle compare is exact."""
@@ -746,6 +785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
         "events_filter": q_events_filter,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "quality_stop_ratio": q_quality_stop_ratio,
         # URL ops
         "url_canonicalize": q_url_canonicalize,
@@ -871,6 +912,35 @@ def oracle_sql() -> dict[str, str]:
         "events_filter": """
             select event_id, user_id, value from events
             where event_type = 'purchase' and value > 50
+        """,
+        "sessionize": """
+            with e as (
+                select user_id, cast(epoch_us(ts) as bigint) as us from events
+            ), b as (
+                select user_id, us,
+                       case when us - lag(us) over w > 1800000000
+                                 or lag(us) over w is null
+                            then 1 else 0 end as brk
+                from e window w as (partition by user_id order by us)
+            ), s as (
+                select user_id, us,
+                       sum(brk) over (partition by user_id order by us
+                                      rows unbounded preceding) as session_id
+                from b
+            )
+            select user_id, session_id, min(us) as session_start_us,
+                   count(*) as n_events
+            from s group by user_id, session_id
+        """,
+        "asof_join": """
+            select p.event_id as purchase_id, p.user_id,
+                   cast(epoch_us(p.ts) as bigint) as purchase_epoch_us,
+                   c.event_id as click_id
+            from (select event_id, user_id, ts from events
+                  where event_type = 'purchase') p
+            asof join (select event_id, user_id, ts from events
+                       where event_type = 'click') c
+              on p.user_id = c.user_id and c.ts <= p.ts
         """,
         "quality_stop_ratio": f"""
             select doc_id,

@@ -1,0 +1,73 @@
+"""Unit tests for the ordered/stream-shaped operators (as-of join, session
+windows) — the keyed-shuffle + in-group-ordering pattern."""
+
+import pandas as pd
+import pytest
+
+
+class TestAsofJoin:
+    def test_matches_latest_at_or_before(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.windows import asof_join
+
+        left = ray.data.from_items([
+            {"lid": 1, "k": 1, "ts": pd.Timestamp("2024-01-01 10:00")},
+            {"lid": 2, "k": 1, "ts": pd.Timestamp("2024-01-01 12:00")},
+            {"lid": 3, "k": 2, "ts": pd.Timestamp("2024-01-01 09:00")},
+            {"lid": 4, "k": 3, "ts": pd.Timestamp("2024-01-01 09:00")},
+        ])
+        right = ray.data.from_items([
+            {"rid": 10, "k": 1, "ts": pd.Timestamp("2024-01-01 09:30")},
+            {"rid": 11, "k": 1, "ts": pd.Timestamp("2024-01-01 11:00")},
+            {"rid": 12, "k": 2, "ts": pd.Timestamp("2024-01-01 09:00")},  # tie: <=
+            {"rid": 13, "k": 2, "ts": pd.Timestamp("2024-01-01 10:00")},  # after
+        ])
+        out = asof_join(left, right, key="k", ts_col="ts").to_pandas()
+        m = dict(zip(out["lid"], out["rid_right"]))
+        assert m == {1: 10, 2: 11, 3: 12}  # lid 4: no right rows for k=3 → dropped
+
+    def test_inner_semantics_no_prior_right(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.windows import asof_join
+
+        left = ray.data.from_items(
+            [{"lid": 1, "k": 1, "ts": pd.Timestamp("2024-01-01 08:00")}])
+        right = ray.data.from_items(
+            [{"rid": 9, "k": 1, "ts": pd.Timestamp("2024-01-01 09:00")}])
+        out = asof_join(left, right, key="k", ts_col="ts").to_pandas()
+        assert len(out) == 0
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.windows import sessionize
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        rows = [
+            {"u": 1, "ts": t0},
+            {"u": 1, "ts": t0 + pd.Timedelta(minutes=10)},
+            {"u": 1, "ts": t0 + pd.Timedelta(minutes=50)},   # > 30min gap → new
+            {"u": 2, "ts": t0},
+        ]
+        out = sessionize(ray.data.from_items(rows), "u", "ts",
+                         gap_seconds=1800).to_pandas()
+        u1 = out[out["u"] == 1].sort_values("session_id")
+        assert list(u1["n_events"]) == [2, 1]
+        assert list(u1["session_id"]) == [1, 2]
+        assert len(out[out["u"] == 2]) == 1
+
+    def test_exact_gap_boundary_stays_in_session(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.windows import sessionize
+
+        t0 = pd.Timestamp("2024-01-01")
+        rows = [{"u": 1, "ts": t0},
+                {"u": 1, "ts": t0 + pd.Timedelta(seconds=1800)}]  # == gap: same
+        out = sessionize(ray.data.from_items(rows), "u", "ts",
+                         gap_seconds=1800).to_pandas()
+        assert list(out["n_events"]) == [2]
