@@ -63,10 +63,12 @@ from ..stages.round_stage import round_process_batch
 from . import crawl_logic
 from .crawl_logic import BlacklistState, GateState, NewPattern
 
-FRONTIER_COLS = [
-    "url", "url_hash", "host", "depth", "parent_url", "status",
-    "round_added", "round_fetched", "fetch_seq",
-]
+PENDING_COLS = ["url", "url_hash", "host", "depth", "parent_url", "round_added"]
+
+
+def _empty_pending() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=o) for c, o in zip(
+        PENDING_COLS, ["object", "object", "object", "int64", "object", "int64"])})
 
 
 def _quiet_data_context():
@@ -93,8 +95,9 @@ class EngineResult:
 
     @property
     def seen_hashes(self) -> set[bytes]:
-        df = self.frontier
-        return set(df.loc[df.status != "cancelled", "url_hash"])
+        # cancelled rows were dropped and their hashes deleted from the
+        # cuckoo shards, so everything still present IS the seen set
+        return set(self.frontier["url_hash"])
 
     def host_counts(self) -> dict[str, int]:
         return {
@@ -124,6 +127,22 @@ class EngineResult:
                         t = t.filter(mask)
                     parts.append(t)
         return pa.concat_tables(parts) if parts else None
+
+    def documents_dataset(self) -> "ray.data.Dataset | None":
+        """Streaming form of :meth:`documents` — the downstream
+        filter/indexer consumes this without ever materializing the corpus
+        on the driver.  The exclusion anti-filter is a broadcast small side."""
+        if self.documents_path is None or not os.path.exists(self.documents_path):
+            return None
+        ds = ray.data.read_parquet(self.documents_path)
+        if self.excluded_doc_ids:
+            excl = self.excluded_doc_ids
+            ds = ds.map_batches(
+                lambda t, _e=excl: t.filter(
+                    pa.array([u not in _e for u in t["doc_id"].to_pylist()])),
+                batch_format="pyarrow",
+            )
+        return ds
 
 
 class CrawlEngine:
@@ -159,13 +178,8 @@ class CrawlEngine:
         self.start_round = 0
         self.timings: dict[str, float] = {}
 
-        self.frontier = pd.DataFrame(
-            {c: pd.Series(dtype=o) for c, o in zip(
-                FRONTIER_COLS,
-                ["object", "object", "object", "int64", "object", "object",
-                 "int64", "int64", "int64"],
-            )}
-        )
+        self.pending = _empty_pending()
+        self._fetched_frames: list[pd.DataFrame] = []
 
         self.seen = ShardedSeen(n_shards=n_seen_shards, n_buckets=seen_buckets)
         self.host_shards = [
@@ -203,18 +217,11 @@ class CrawlEngine:
                 continue
             rows.append(
                 dict(url=url, url_hash=h, host=urltools.url_host(url),
-                     depth=depth, parent_url=parent, status="pending",
-                     round_added=round_k, round_fetched=-1, fetch_seq=-1)
+                     depth=depth, parent_url=parent, round_added=round_k)
             )
         if rows:
-            add_df = pd.DataFrame(rows)
-            # a cancelled row whose hash was re-admitted by the filter gets
-            # replaced (reference deletes cancelled hashes from the shelve)
-            self.frontier = self.frontier[
-                ~(self.frontier.url_hash.isin(add_df.url_hash)
-                  & (self.frontier.status == "cancelled"))
-            ]
-            self.frontier = pd.concat([self.frontier, add_df], ignore_index=True)
+            self.pending = pd.concat(
+                [self.pending, pd.DataFrame(rows)], ignore_index=True)
         return len(rows)
 
     def _add_rows_df(self, add_df: pd.DataFrame, round_k: int) -> int:
@@ -236,16 +243,9 @@ class CrawlEngine:
             "host": new["host"].values,
             "depth": new["depth"].values.astype("int64"),
             "parent_url": new["parent_url"].values,
-            "status": "pending",
             "round_added": round_k,
-            "round_fetched": -1,
-            "fetch_seq": -1,
         })
-        self.frontier = self.frontier[
-            ~(self.frontier.url_hash.isin(set(rows.url_hash))
-              & (self.frontier.status == "cancelled"))
-        ]
-        self.frontier = pd.concat([self.frontier, rows], ignore_index=True)
+        self.pending = pd.concat([self.pending, rows], ignore_index=True)
         return len(rows)
 
     # ------------------------------------------------------------------
@@ -255,11 +255,10 @@ class CrawlEngine:
         limit = max_rounds if max_rounds is not None else self.settings.max_rounds
         rounds_done = self.start_round
         for round_k in range(self.start_round, limit):
-            pending = self.frontier[self.frontier.status == "pending"]
-            if pending.empty:
+            if self.pending.empty:
                 break
             rounds_done = round_k + 1
-            self._run_round(round_k, pending)
+            self._run_round(round_k, self.pending)
             if self.ckpt_dir:
                 import time as _time
 
@@ -282,6 +281,10 @@ class CrawlEngine:
         import time as _time
 
         settings = self.settings
+        self._round_fetched = None      # guards the checkpoint delta when a
+        self._round_excluded_docs = []  # round admits nothing
+        self._round_token_partial = pd.DataFrame(
+            {"token": pd.Series(dtype=object), "n": pd.Series(dtype="int64")})
         t = _time.perf_counter()
 
         # ---- 1. politeness admission (host-shard actor pool) ----
@@ -309,13 +312,17 @@ class CrawlEngine:
         if admitted.empty:
             return
 
-        # assign canonical seq + global fetch order
+        # assign canonical seq + global fetch order; move admitted rows from
+        # the pending table into the per-round fetched log (driver memory is
+        # O(pending + round), never O(all crawled))
         admitted = admitted.assign(seq=np.arange(len(admitted), dtype=np.int64))
-        self.frontier.loc[admitted.index, "status"] = "fetched"
-        self.frontier.loc[admitted.index, "round_fetched"] = round_k
-        self.frontier.loc[admitted.index, "fetch_seq"] = (
-            self.fetch_seq + admitted["seq"].values
-        )
+        fetched = admitted.drop(columns=["round_added"]).assign(
+            round_fetched=round_k,
+            fetch_seq=self.fetch_seq + admitted["seq"].values,
+        ).drop(columns=["seq"]).reset_index(drop=True)
+        self._round_fetched = fetched
+        self._fetched_frames.append(fetched)
+        self.pending = self.pending.drop(index=admitted.index).reset_index(drop=True)
         self.fetch_seq += len(admitted)
 
         # ---- 2-4. ONE fused streaming execution per round ----
@@ -516,25 +523,33 @@ class CrawlEngine:
             self.blacklist.add(p.pattern, p.reason, p.temporary)
             if p.cancel:
                 cregex = re.compile(p.pattern)
-                pending_now = self.frontier.status == "pending"
-                hits = pending_now & self.frontier.url.map(
-                    lambda u: bool(cregex.match(u)))
+                hits = self.pending.url.map(lambda u: bool(cregex.match(u)))
                 if hits.any():
                     cancelled_hashes = [
-                        key64(h) for h in self.frontier.loc[hits, "url_hash"]
+                        key64(h) for h in self.pending.loc[hits, "url_hash"]
                     ]
                     self.seen.delete(np.array(cancelled_hashes, dtype=np.uint64))
-                    self.frontier.loc[hits, "status"] = "cancelled"
+                    # drop outright: the reference deletes cancelled URLs from
+                    # the shelve so they can be re-added (frontier.py:85-88)
+                    self.pending = self.pending[~hits].reset_index(drop=True)
         self._t("boundary", t)
 
     # ------------------------------------------------------------------
     def _checkpoint(self, round_k: int) -> None:
         rd = os.path.join(self.ckpt_dir, f"round={round_k:05d}")
         os.makedirs(rd, exist_ok=True)
-        fr = self.frontier.copy()
-        fr["url_hash"] = fr["url_hash"].map(bytes)
-        pq.write_table(pa.Table.from_pandas(fr, preserve_index=False),
-                       os.path.join(rd, "frontier.parquet"))
+        pend = self.pending.copy()
+        pend["url_hash"] = pend["url_hash"].map(bytes)
+        pq.write_table(pa.Table.from_pandas(pend, preserve_index=False),
+                       os.path.join(rd, "pending.parquet"))
+        fetched = getattr(self, "_round_fetched", None)
+        if fetched is None:
+            fetched = self._fetched_frames[-1].iloc[:0] if self._fetched_frames \
+                else _empty_pending()
+        fd = fetched.copy()
+        fd["url_hash"] = fd["url_hash"].map(bytes)
+        pq.write_table(pa.Table.from_pandas(fd, preserve_index=False),
+                       os.path.join(rd, "fetched_delta.parquet"))
         gate_blob = {
             "previouspage": self.gate.previouspage,
             "unique_url_count": self.gate.unique_url_count,
@@ -608,9 +623,16 @@ class CrawlEngine:
         self.start_round = round_k + 1
         self.timings = {}
 
-        fr = pq.read_table(os.path.join(rd, "frontier.parquet")).to_pandas()
-        fr["url_hash"] = fr["url_hash"].map(bytes)
-        self.frontier = fr
+        pend = pq.read_table(os.path.join(rd, "pending.parquet")).to_pandas()
+        pend["url_hash"] = pend["url_hash"].map(bytes)
+        self.pending = pend
+        self._fetched_frames = []
+        for r in rounds:
+            fd = pq.read_table(
+                os.path.join(ckpt_dir, r, "fetched_delta.parquet")).to_pandas()
+            if len(fd):
+                fd["url_hash"] = fd["url_hash"].map(bytes)
+                self._fetched_frames.append(fd)
 
         with open(os.path.join(rd, "gate.json")) as f:
             g = json.load(f)
@@ -670,10 +692,19 @@ class CrawlEngine:
         host_snaps: dict[str, dict] = {}
         for snap in ray.get([s.snapshot.remote() for s in self.host_shards]):
             host_snaps.update(snap)
-        fetched = self.frontier[self.frontier.fetch_seq >= 0].sort_values("fetch_seq")
+        if self._fetched_frames:
+            fetched = pd.concat(self._fetched_frames, ignore_index=True) \
+                .sort_values("fetch_seq")
+        else:
+            fetched = _empty_pending().assign(fetch_seq=pd.Series(dtype="int64"))
+        frontier_all = pd.concat(
+            [fetched.assign(status="fetched"),
+             self.pending.assign(status="pending", fetch_seq=-1)],
+            ignore_index=True,
+        )
         return EngineResult(
             fetch_log=list(fetched["url"]),
-            frontier=self.frontier,
+            frontier=frontier_all,
             gate=self.gate,
             blacklist=self.blacklist,
             host_snapshots=host_snaps,
