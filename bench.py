@@ -35,11 +35,11 @@ CRAWL_ONLY = os.environ.get("GRAFT_CRAWL_ONLY", "") == "1"
 # CPU level so per-host politeness never caps aggregate throughput
 # (BASELINE.md note); branching covers each host in one round so the crawl
 # is parse-bound, not round-overhead-bound.
-BENCH_WEB = dict(n_hosts=256, pages_per_host=120, branching=120,
-                 cross_links=2, tokens_per_page=1600, n_seeds=64)
+BENCH_WEB = dict(n_hosts=256, pages_per_host=400, branching=400,
+                 cross_links=2, tokens_per_page=1600, n_seeds=256)
 WARMUP_WEB = dict(n_hosts=64, pages_per_host=12, branching=12,
                   cross_links=2, tokens_per_page=400, n_seeds=64)
-BENCH_WINDOW = 100.0
+BENCH_WINDOW = 250.0
 
 
 def run_crawl(num_cpus: int) -> dict:
@@ -134,7 +134,7 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo, hi = (4, 16) if "--lo4" in sys.argv else (8, 32)
     r_lo, r_hi = run(lo), run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(json.dumps({

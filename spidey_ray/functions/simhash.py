@@ -25,19 +25,35 @@ def token_hash64(token: str) -> int:
     return int.from_bytes(hashlib.sha1(token.encode("utf-8")).digest()[:8], "big")
 
 
+# token → ±1 sign row (int8[64], MSB-first); vocabulary is Zipfian so the
+# cache hit rate is high across pages within a worker process
+_SIGN_CACHE: dict[str, np.ndarray] = {}
+_SIGN_CACHE_MAX = 1 << 20
+
+
+def _sign_row(token: str) -> np.ndarray:
+    row = _SIGN_CACHE.get(token)
+    if row is None:
+        h = hashlib.sha1(token.encode("utf-8")).digest()[:8]
+        bits = np.unpackbits(np.frombuffer(h, dtype=np.uint8))  # MSB-first
+        row = (bits.astype(np.int8) * 2 - 1)                    # bit→+1, 0→-1
+        if len(_SIGN_CACHE) >= _SIGN_CACHE_MAX:
+            _SIGN_CACHE.clear()
+        _SIGN_CACHE[token] = row
+    return row
+
+
 def simhash64(freq: dict[str, int]) -> int:
     """64-bit simhash of a token-frequency dict; bit j is the MSB-first
-    position, matching the reference's ``format(hash(i), '0>64b')`` layout."""
-    vector = np.zeros(64, dtype=np.int64)
-    for token, count in freq.items():
-        h = token_hash64(token)
-        bits = np.frombuffer(
-            np.uint64(h).tobytes()[::-1], dtype=np.uint8
-        )  # big-endian bytes
-        bitarr = np.unpackbits(bits)  # MSB-first 64 bits
-        vector += np.where(bitarr == 1, count, -count)
-    out = np.where(vector >= 1, 1, 0)
-    return int("".join(map(str, out.tolist())), 2)
+    position, matching the reference's ``format(hash(i), '0>64b')`` layout.
+    vector_j = Σ count·(+1 if bit_j else -1); one matmul over cached rows."""
+    if not freq:
+        return 0
+    rows = np.stack([_sign_row(t) for t in freq])
+    counts = np.fromiter(freq.values(), dtype=np.int64, count=len(freq))
+    vector = counts @ rows
+    bits = (vector >= 1).astype(np.uint8)
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
 
 
 def simhash_from_tokens(tokens: list[str]) -> tuple[int, int]:

@@ -80,13 +80,21 @@ def expand_contractions(token: str) -> str:
     return _CONTRACTIONS.get(token, token)
 
 
+_EXPANSION_SPLIT = re.compile(r"\s|'")
+
+
 def tokenize(text: str) -> Iterator[tuple[str, int]]:
     """Index tokenizer: yields (token, position) pairs (HTMLParser.py:19-28)."""
     text = text.lower()
     pos = 0
     for res in INDEX_TOKEN_PATTERN.finditer(text):
         token = res.group()
-        for t in re.split(r"\s|'", expand_contractions(token)):
+        if "'" not in token:
+            # fast path: no apostrophe ⇒ not a contraction, no split needed
+            yield token, pos
+            pos += len(token) + 1
+            continue
+        for t in _EXPANSION_SPLIT.split(expand_contractions(token)):
             if not t:
                 continue
             yield t, pos

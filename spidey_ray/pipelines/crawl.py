@@ -173,6 +173,7 @@ class CrawlEngine:
         self.blacklist = BlacklistState()
         self._token_partials: list[pd.DataFrame] = []
         self._excluded_docs_all: set[str] = set()
+        self._host_allow_all: set[str] = set()
         self.longest: list[tuple[int, str]] = []
         self.fetch_seq = 0
         self.start_round = 0
@@ -289,9 +290,9 @@ class CrawlEngine:
 
         # ---- 1. politeness admission (host-shard actor pool) ----
         cands = pending.sort_values(["depth", "url"], kind="mergesort")
-        by_shard: list[dict[str, list[str]]] = [dict() for _ in range(self.n_host_shards)]
-        for host, urls in cands.groupby("host", sort=True)["url"]:
-            by_shard[host_shard_of(host, self.n_host_shards)][host] = list(urls)
+        by_shard: list[dict[str, int]] = [dict() for _ in range(self.n_host_shards)]
+        for host, n in cands["host"].value_counts().items():
+            by_shard[host_shard_of(host, self.n_host_shards)][host] = int(n)
         admit_refs = [
             shard.admit.remote(shard_cands, round_k)
             for shard, shard_cands in zip(self.host_shards, by_shard)
@@ -371,6 +372,7 @@ class CrawlEngine:
                 )
                 .materialize()
             )
+            t = self._t("fetch_parse_exec", t)
             # zero-copy block gather; only needed columns become pandas below
             ctbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
         t = self._t("fetch_parse", t)
@@ -413,10 +415,19 @@ class CrawlEngine:
                 host_count_inc[d.count_host] = host_count_inc.get(d.count_host, 0) + 1
         t = self._t("gates", t)
 
-        # ---- token-count partials (A3): block-level rows, merged at end ----
-        partial = (
-            ctbl.filter(pc.equal(kinds, "tok")).select(["token", "n"]).to_pandas()
-        )
+        # ---- token-count partials (A3): packed block rows, merged at end ----
+        tok_tbl = ctbl.filter(pc.equal(kinds, "tok"))
+        if tok_tbl.num_rows:
+            # Arrow list flatten: zero-copy unpack of the packed block rows
+            tokens_flat = pc.list_flatten(tok_tbl["tok_tokens"].combine_chunks())
+            counts_flat = pc.list_flatten(tok_tbl["tok_counts"].combine_chunks())
+            partial = pd.DataFrame({
+                "token": tokens_flat.to_pandas(),
+                "n": counts_flat.to_pandas().astype("int64"),
+            })
+        else:
+            partial = pd.DataFrame({"token": pd.Series(dtype=object),
+                                    "n": pd.Series(dtype="int64")})
         self._round_token_partial = partial
         self._token_partials.append(partial)
 
@@ -461,11 +472,16 @@ class CrawlEngine:
         if len(cand_rows):
             cand_rows = cand_rows.sort_values(
                 ["sorted_url", "orig_link", "parent_url"], kind="mergesort")
+            # links to hosts already known to have rule-free robots bypass the
+            # shard RPC entirely — can_fetch is constant True for them
+            bypass_mask = cand_rows["host"].isin(self._host_allow_all).to_numpy()
+            bypass = cand_rows[bypass_mask]
+            to_check = cand_rows[~bypass_mask]
             links_by_shard: list[dict[str, list[tuple[str, str]]]] = [
                 dict() for _ in range(self.n_host_shards)
             ]
             depth_of_host: dict[str, int] = {}
-            for host, g in cand_rows.groupby("host", sort=False):
+            for host, g in to_check.groupby("host", sort=False):
                 links_by_shard[host_shard_of(host, self.n_host_shards)][host] = \
                     list(zip(g["sorted_url"], g["orig_link"]))
                 depth_of_host[host] = int(g["depth"].iloc[0])
@@ -480,13 +496,15 @@ class CrawlEngine:
                 results.update(out)
             # robots-approved candidates, vectorized (mask per host in the
             # same canonical order the shards received)
-            frames = []
+            frames = [bypass]
             sm_rows: list[tuple[str, int]] = []
-            for host, g in cand_rows.groupby("host", sort=False):
+            for host, g in to_check.groupby("host", sort=False):
                 r = results[host]
                 frames.append(g[np.asarray(r["mask"], dtype=bool)])
                 for u in r["unchecked"] + r["checked"]:
                     sm_rows.append((u, depth_of_host[host]))
+                if r["allow_all"]:
+                    self._host_allow_all.add(host)
             cand_ok = pd.concat(frames) if frames else cand_rows.iloc[:0]
             add_df = pd.DataFrame({
                 "raw_url": cand_ok["sorted_url"].values,
@@ -658,6 +676,7 @@ class CrawlEngine:
 
         self._token_partials = []
         self._excluded_docs_all = set()
+        self._host_allow_all = set()   # warm cache rebuilt lazily after resume
         for r in rounds:
             td = pq.read_table(os.path.join(ckpt_dir, r, "token_partials.parquet"))
             self._token_partials.append(td.to_pandas())

@@ -63,9 +63,10 @@ ROUND_SCHEMA = pa.schema(
         ("simhash", pa.uint64()),
         ("title", pa.string()),
         ("content_len", pa.int64()),
-        # 'tok' columns
-        ("token", pa.string()),
-        ("n", pa.int64()),
+        # 'tok' columns: ONE packed row per block (vocab-bound list arrays,
+        # not vocab-count scalar rows — keeps the union table small)
+        ("tok_tokens", pa.list_(pa.string())),
+        ("tok_counts", pa.list_(pa.int64())),
         # 'cand' columns
         ("sorted_url", pa.string()),
         ("orig_link", pa.string()),
@@ -82,7 +83,8 @@ _EMPTY = {
     "seq": 0, "link_idx": 0, "url": "", "final_url": "", "status": 0,
     "host": "", "depth": 0, "parent_url": "", "empty": False, "tag_count": 0,
     "is_sitemap": False, "n_tokens": 0, "simhash": 0, "title": "",
-    "content_len": 0, "token": "", "n": 0, "sorted_url": "", "orig_link": "",
+    "content_len": 0, "tok_tokens": [], "tok_counts": [],
+    "sorted_url": "", "orig_link": "",
     "norm_url": "", "url_hash": b"", "pattern": "", "reason": "",
     "temporary": False,
 }
@@ -217,14 +219,14 @@ def round_process_batch(
             elif name in present:
                 arrays.append(pa.array(present[name], type=fieldx.type))
             else:
-                arrays.append(pa.array([_EMPTY[name]] * n, type=fieldx.type))
+                arrays.append(pa.nulls(n, type=fieldx.type))  # absent → null
         return pa.Table.from_arrays(arrays, schema=ROUND_SCHEMA)
 
     parts = [sub_table("rec", rec_rows)]
     if tok_partial:
         parts.append(sub_table("tok", {
-            "token": list(tok_partial.keys()),
-            "n": list(tok_partial.values()),
+            "tok_tokens": [list(tok_partial.keys())],
+            "tok_counts": [list(tok_partial.values())],
         }))
     if cand_rows_["seq"]:
         parts.append(sub_table("cand", cand_rows_))

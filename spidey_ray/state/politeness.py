@@ -217,24 +217,31 @@ class HostShard:
                     self.is_valid, allurlchecks,
                 )
             mask = [state.can_fetch(orig, self.settings) for (_s, orig) in rows]
-            out[host] = {"mask": mask, "unchecked": unchecked, "checked": checked}
+            # allow_all: robots missing/unparseable, or parsed but rule-free —
+            # can_fetch is constant True, so the driver may cache and skip the
+            # RPC for this host's future links (pure optimization)
+            allow_all = state.robots is None or (
+                not state.robots.entries and state.robots.default_entry is None
+            )
+            out[host] = {"mask": mask, "unchecked": unchecked,
+                         "checked": checked, "allow_all": allow_all}
         return out
 
-    def admit(self, cands_by_host: dict[str, list[str]], round_k: int) -> dict:
-        """Politeness admission for this shard's hosts; per-host candidate
-        lists arrive in canonical order. Returns {host: n_admitted} — the
-        admitted prefix length of each host's ordered list."""
+    def admit(self, cands_by_host: dict[str, int], round_k: int) -> dict:
+        """Politeness admission for this shard's hosts. The driver holds the
+        per-host canonical order; only candidate COUNTS cross the wire.
+        Returns {host: n_admitted} — the admitted prefix length of each
+        host's ordered list (admission is order-respecting by construction,
+        see admit_round)."""
         out = {}
-        for host, urls in cands_by_host.items():
+        for host, n_cands in cands_by_host.items():
             state = self._get(host)
-            ordered = [(u, host) for u in urls]
+            ordered = [("", host)] * n_cands
             admitted, clocks = admit_round(
                 ordered, {host: state.clock}, {host: state.delay(self.settings)},
                 round_k, self.settings.round_window,
             )
             state.clock = clocks[host]
-            # admission is order-respecting: admitted is a prefix of the
-            # per-host canonical order by construction
             out[host] = len(admitted)
         return out
 
