@@ -134,7 +134,9 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = (4, 16) if "--lo4" in sys.argv else (8, 32)
+    # default pair 4→16: below the shared-socket memory-bandwidth
+    # saturation knee (see BASELINE.md); --hi32 measures 8→32
+    lo, hi = (8, 32) if "--hi32" in sys.argv else (4, 16)
     r_lo, r_hi = run(lo), run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(json.dumps({

@@ -354,7 +354,9 @@ class CrawlEngine:
         else:
             # 6× the slot count: fine-grained blocks keep the final wave's
             # straggler tail short (the round barrier makes tails expensive)
-            n_blocks = max(1, min(self.fetch_concurrency * 4,
+            # floor of 64 so low-parallelism runs still get fine-grained
+            # blocks (coarse blocks → long straggler tails at the barrier)
+            n_blocks = max(1, min(max(self.fetch_concurrency * 4, 64),
                                   len(admitted) // self.fetch_batch_size + 1))
             # pre-slice driver-side: Repartition is an all-to-all barrier with
             # seconds of fixed cost; slicing an in-memory Arrow table is free
