@@ -77,7 +77,9 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
 
 
 class MinHashStage:
-    """doc rows → LSH band rows (band, band_hash, doc_id) + signature."""
+    """doc rows → one row per doc: (doc_id, signature, per-band hashes).
+    Signatures stay one-per-doc; only the tiny (band, hash, doc_id) rows
+    enter the bucket shuffle."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
                  text_col: str = "text", seed: int = 42):
@@ -89,60 +91,114 @@ class MinHashStage:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_doc, out_band, out_bh, out_sig = [], [], [], []
+        out_doc, out_sig, out_bh = [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                 batch[self.text_col].to_pylist()):
             sig = minhash_signature(shingle_hashes(text, self.k), self.a, self.b)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                bh = hashlib.sha1(chunk.tobytes()).hexdigest()[:16]
-                out_doc.append(doc_id)
-                out_band.append(band)
-                out_bh.append(bh)
-                out_sig.append(sig.tolist())
+            bhs = [
+                hashlib.sha1(
+                    sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
+                    .tobytes()).hexdigest()[:16]
+                for b in range(self.bands)
+            ]
+            out_doc.append(doc_id)
+            out_sig.append(sig.tolist())
+            out_bh.append(bhs)
         return pa.table({
             "doc_id": pa.array(out_doc, type=pa.int64()),
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_bh, type=pa.string()),
             "signature": pa.array(out_sig, type=pa.list_(pa.uint64())),
+            "band_hashes": pa.array(out_bh, type=pa.list_(pa.string())),
         })
 
 
-def _bucket_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket, verified by signature-estimated
-    Jaccard >= threshold."""
-    g = g.sort_values("doc_id")
-    ids = g["doc_id"].tolist()
-    sigs = [np.asarray(s, dtype=np.uint64) for s in g["signature"]]
-    a_out, b_out, j_out = [], [], []
+_MINHASH_CACHE: dict = {}
+
+
+def _minhash_batch(batch: pa.Table, num_perm: int, bands: int,
+                   text_col: str) -> pa.Table:
+    """Task-stage wrapper: permutation params are cheap to rebuild, so
+    stateless tasks (full cluster width) beat a small actor pool."""
+    key = (num_perm, bands, text_col)
+    stage = _MINHASH_CACHE.get(key)
+    if stage is None:
+        stage = _MINHASH_CACHE[key] = MinHashStage(
+            num_perm=num_perm, bands=bands, text_col=text_col)
+    return stage(batch)
+
+
+def _explode_bands(batch: pa.Table) -> pa.Table:
+    n_bands = len(batch["band_hashes"][0].as_py()) if len(batch) else 0
+    docs = np.repeat(np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64),
+                     n_bands)
+    import pyarrow.compute as _pc
+
+    flat = _pc.list_flatten(batch["band_hashes"].combine_chunks())
+    bands = np.tile(np.arange(n_bands, dtype=np.int32), len(batch))
+    return pa.table({
+        "doc_id": pa.array(docs),
+        "band": pa.array(bands),
+        "band_hash": flat,
+    })
+
+
+def _bucket_pairs_ids(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket (ids only; verified later)."""
+    ids = sorted(set(g["doc_id"].tolist()))
+    a_out, b_out = [], []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
-            if ids[i] == ids[j]:
-                continue
-            est = float((sigs[i] == sigs[j]).mean())
-            if est >= threshold:
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-                j_out.append(round(est, 4))
-    return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "jaccard_est": j_out})
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+    return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
 
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
                       num_perm: int = 64, bands: int = 16,
                       text_col: str = "text") -> "ray.data.Dataset":
-    """Near-duplicate candidate pairs via banded minhash LSH."""
-    pairs = (
-        ds.map_batches(
-            MinHashStage, fn_constructor_kwargs=dict(
-                num_perm=num_perm, bands=bands, text_col=text_col),
-            batch_format="pyarrow", concurrency=2, num_cpus=0.5,
-        )
+    """Near-duplicate candidate pairs via banded minhash LSH.
+
+    Shuffle discipline: signatures (num_perm × 8 bytes each) never enter the
+    bucket shuffle — only (band, band_hash, doc_id) rows do.  Candidate
+    pairs are verified against a broadcast doc_id→signature map (``ray.put``
+    once); at corpus scale the verification becomes a hash-partitioned join
+    on doc_id instead of a broadcast."""
+    sigs = ds.map_batches(
+        _minhash_batch,
+        fn_kwargs=dict(num_perm=num_perm, bands=bands, text_col=text_col),
+        batch_format="pyarrow",
+    ).materialize()
+
+    sig_df = sigs.select_columns(["doc_id", "signature"]).to_pandas()
+    sig_map = {int(d): np.asarray(s, dtype=np.uint64)
+               for d, s in zip(sig_df["doc_id"], sig_df["signature"])}
+    sig_ref = ray.put(sig_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        m = ray.get(sig_ref)
+        a = batch["doc_a"].to_pylist()
+        b = batch["doc_b"].to_pylist()
+        a_out, b_out, j_out = [], [], []
+        for x, y in zip(a, b):
+            est = float((m[x] == m[y]).mean())
+            if est >= threshold:
+                a_out.append(x)
+                b_out.append(y)
+                j_out.append(round(est, 4))
+        return pa.table({
+            "doc_a": pa.array(a_out, type=pa.int64()),
+            "doc_b": pa.array(b_out, type=pa.int64()),
+            "jaccard_est": pa.array(j_out, type=pa.float64()),
+        })
+
+    return (
+        sigs.select_columns(["doc_id", "band_hashes"])
+        .map_batches(_explode_bands, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
-        .map_groups(lambda g: _bucket_pairs(g, threshold), batch_format="pandas")
+        .map_groups(_bucket_pairs_ids, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])          # same pair from several bands
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .map_batches(verify, batch_format="pyarrow")
     )
-    # the same pair can surface from several bands → dedup on (a, b)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
 
 
 def resolve_duplicates(pairs_df: pd.DataFrame) -> dict[int, int]:
@@ -289,9 +345,17 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
                     j_out.append(round(jac, 4))
         return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "jaccard": j_out})
 
+    sig_cache: dict = _MINHASH_CACHE
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        key = ("ngram-sig", ngram, text_col)
+        stage = sig_cache.get(key)
+        if stage is None:
+            stage = sig_cache[key] = SigStage()
+        return stage(batch)
+
     pairs = (
-        ds.map_batches(SigStage, batch_format="pyarrow",
-                       concurrency=2, num_cpus=0.5)
+        ds.map_batches(sig_batch, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
