@@ -1,0 +1,149 @@
+"""Property-based tests (hypothesis) for the pure kernels the engine's
+correctness leans on."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spidey_ray.functions import porter, simhash as sh, tokenize, urltools
+from spidey_ray.state.cuckoo import CuckooFilter
+
+url_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"),
+                           whitelist_characters="-._~"),
+    min_size=1, max_size=12)
+
+
+@st.composite
+def urls(draw):
+    host = f"h{draw(st.integers(0, 99))}.example.com"
+    segs = draw(st.lists(url_text, min_size=0, max_size=4))
+    path = "/" + "/".join(segs) if segs else ""
+    q = draw(st.one_of(st.just(""), st.just("b=2&a=1"), st.just("x=1")))
+    trail = draw(st.booleanss()) if False else draw(st.booleans())
+    u = f"https://{host}{path}" + ("?" + q if q else "") + ("/" if trail else "")
+    return u
+
+
+class TestUrlProperties:
+    @given(urls())
+    @settings(max_examples=200)
+    def test_normalize_idempotent(self, u):
+        assert urltools.normalize(urltools.normalize(u)) == urltools.normalize(u)
+
+    @given(urls())
+    @settings(max_examples=200)
+    def test_hash_scheme_insensitive(self, u):
+        assert urltools.url_hash(u) == urltools.url_hash(
+            u.replace("https://", "http://", 1))
+
+    @given(urls())
+    @settings(max_examples=200)
+    def test_sort_by_query_idempotent(self, u):
+        once = urltools.sort_by_query(u)
+        assert urltools.sort_by_query(once) == once
+
+
+text_strategy = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs"),
+                           whitelist_characters="'-.,!\n"),
+    max_size=300)
+
+
+class TestTokenizeProperties:
+    @given(text_strategy)
+    @settings(max_examples=200)
+    def test_positions_strictly_increasing(self, text):
+        toks = list(tokenize.tokenize(text))
+        positions = [p for _, p in toks]
+        assert positions == sorted(positions)
+        assert len(set(positions)) == len(positions)
+
+    @given(text_strategy)
+    @settings(max_examples=200)
+    def test_retokenization_fixpoint(self, text):
+        """The filter writes space-joined tokens and the indexer re-tokenizes
+        that file (Filter.py:77, Indexer.py:56-61): tokenization of the
+        joined token stream must reproduce the same tokens AND positions."""
+        toks = list(tokenize.tokenize(text))
+        joined = "".join(t + " " for t, _ in toks)
+        again = list(tokenize.tokenize(joined))
+        assert [t for t, _ in again] == [t for t, _ in toks]
+        # positions in the joined file are the running offsets
+        expected_pos = []
+        acc = 0
+        for t, _ in toks:
+            expected_pos.append(acc)
+            acc += len(t) + 1
+        assert [p for _, p in again] == expected_pos
+
+    @given(st.text(alphabet=st.characters(whitelist_categories=("Ll",)),
+                   min_size=1, max_size=20))
+    @settings(max_examples=300)
+    def test_porter_deterministic_and_bounded(self, w):
+        s1, s2 = porter.stem(w), porter.stem(w)
+        assert s1 == s2
+        assert 0 < len(s1) <= len(w) + 1
+
+
+class TestSimhashProperties:
+    freq = st.dictionaries(
+        st.text(alphabet=st.characters(whitelist_categories=("Ll",)),
+                min_size=1, max_size=8),
+        st.integers(1, 20), min_size=0, max_size=30)
+
+    @given(freq)
+    @settings(max_examples=100)
+    def test_order_invariant(self, f):
+        items = list(f.items())
+        assert sh.simhash64(dict(items)) == sh.simhash64(dict(reversed(items)))
+
+    @given(st.integers(0, 2**64 - 1), st.integers(0, 2**64 - 1))
+    @settings(max_examples=200)
+    def test_similarity_symmetric_and_bounded(self, a, b):
+        s = sh.bit_similarity(a, b)
+        assert s == sh.bit_similarity(b, a)
+        assert 0.0 <= s <= 1.0
+        assert sh.bit_similarity(a, a) == 1.0
+
+    @given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=50))
+    @settings(max_examples=100)
+    def test_popcount_matches_python(self, xs):
+        arr = np.array(xs, dtype=np.uint64)
+        assert sh.hamming_popcount(arr ^ np.uint64(0)).tolist() == \
+            [bin(x).count("1") for x in xs]
+
+
+class TestCuckooProperties:
+    @given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=300,
+                    unique=True))
+    @settings(max_examples=50)
+    def test_add_then_contains(self, keys):
+        f = CuckooFilter(1 << 12)
+        arr = np.array(keys, dtype=np.uint64)
+        first = f.seen_or_add(arr)
+        assert not first.any()            # unique keys: none seen before
+        assert f.contains(arr).all()
+        second = f.seen_or_add(arr)
+        assert second.all()               # all seen now
+
+    @given(st.lists(st.integers(0, 2**64 - 1), min_size=2, max_size=100,
+                    unique=True))
+    @settings(max_examples=50)
+    def test_delete_restores_unseen(self, keys):
+        f = CuckooFilter(1 << 12)
+        arr = np.array(keys, dtype=np.uint64)
+        f.seen_or_add(arr)
+        half = arr[: len(arr) // 2]
+        assert f.delete(half) == len(half)
+        assert not f.seen_or_add(half).any()   # re-addable after delete
+
+    @given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=500,
+                    unique=True))
+    @settings(max_examples=30)
+    def test_serialize_roundtrip(self, keys):
+        f = CuckooFilter(1 << 12)
+        arr = np.array(keys, dtype=np.uint64)
+        f.seen_or_add(arr)
+        g = CuckooFilter.restore(f.serialize())
+        assert g.contains(arr).all()
