@@ -5,38 +5,42 @@ Each round (SURVEY.md §7.2.7, north_rule):
 1. ADMIT   — pending frontier rows in canonical (depth, url) order through
              the per-host politeness clocks (HostShard actor pool; all of a
              host's traffic goes through its one shard — SURVEY.md §4).
-2. FETCH+PARSE — ``map_batches(FetchParseStage)`` actor pool over zero-copy
-             Arrow batches: synthetic fetch, span parse, tokenize, stable
-             simhash.  The heavy columns (spans/links/tokens) never leave
-             the cluster; only the compact record columns come back to the
-             driver.
-3. GATES   — the sequential state machine (crawl_logic.apply_gates) over the
-             round's compact records in canonical order: query traps,
+             Only per-host candidate counts cross the wire.
+2. FUSED ROUND STAGE — ONE streaming ``map_batches`` execution
+             (stages/round_stage.py): fetch + span parse + tokenize +
+             stable simhash + token-count partials + document side-writes +
+             outlink checks, all over zero-copy Arrow blocks.  The heavy
+             columns (spans/tokens/content) never reach the driver; compact
+             records, packed token partials and candidate links do.
+3. GATES   — the sequential state machine (crawl_logic.apply_gates) over
+             the round's compact records in canonical order: query traps,
              low-value, parent/previous-page similarity, blacklist
-             emissions.  O(round) work over ~100-byte records; the
-             content-size work stayed in step 2.
-4. EXPAND  — ``map_batches(LinkCheckStage)`` over the expand-approved pages:
-             canonicalize + validity + round-start blacklist + trap
-             predicate, distributed; surviving candidates come back tagged
-             (seq, link_idx) so the canonical emission order is re-imposed.
-5. ROBOTS  — one batched ``filter_links`` call per HostShard: robots
+             emissions.  O(round) work over ~100-byte records; the small
+             gate-suppressed set prunes candidate links and is recorded as
+             the documents-table exclusion list.
+4. ROBOTS  — one batched ``filter_links`` call per HostShard: robots
              fetch-on-first-sighting (charging the politeness clock,
-             scraper.py:68), sitemap ingestion, can_fetch gate.
-6. SEEN    — batched ``seen_or_add`` on the cuckoo-filter shard pool in
+             scraper.py:68), sitemap ingestion, can_fetch gate.  Hosts
+             known to be rule-free are bypassed on the driver.
+5. SEEN    — batched ``seen_or_add`` on the cuckoo-filter shard pool in
              canonical (url, parent) order; first-seen-wins
              (frontier.py:60-66).
-7. CHECKPOINT — frontier, gate state, blacklist, host snapshots, cuckoo
-             blobs, per-round token-count deltas, documents and lineage go
-             to Lance/Parquet under ``ckpt_dir``; ``_SUCCESS`` marks the
-             round complete.  ``CrawlEngine.resume`` restarts from the last
-             complete round (north_rule resumability).
+6. CHECKPOINT — pending frontier, per-round fetched delta, gate state,
+             blacklist, host snapshots, cuckoo blobs, token partials,
+             documents, exclusions and lineage go to Lance/Parquet under
+             ``ckpt_dir``; ``_SUCCESS`` marks the round complete.
+             ``CrawlEngine.resume`` restarts from the last complete round
+             (north_rule resumability).
 
-Scale posture (10^10-frontier): the frontier table and fingerprints are
-columnar and checkpointed every round — at cluster scale they live in Lance
-and only the round's READY slice is materialized; the driver-side structures
-here (pandas frontier, footprint dict) are the single-node stand-ins for
-those tables and are the documented swap points.  Blacklist growth is
-round-synchronized (SURVEY.md §7.5.3).
+Scale posture (10^10-frontier): driver memory is O(pending + round) — the
+crawled history lives only in the per-round fetched/documents logs; the
+seen set is the sharded cuckoo pool; the remaining driver-side dict
+(gate footprints, for parent/previous-page similarity) is checkpointed
+columnar and its scale path is a batched prefetch from a sharded KV pool
+(parents are always fetched in earlier rounds, so the needed keys are known
+before the gate loop).  Blacklist growth is round-synchronized
+(SURVEY.md §7.5.3).  Tiny rounds run the same stage function inline on the
+driver — no per-execution overhead, identical semantics.
 """
 
 from __future__ import annotations

@@ -125,13 +125,15 @@ def run_filter_index(
     meta_path = os.path.join(out_dir, "doc_meta")
     sio.write_table(doc_meta, meta_path)
 
-    # 4b. postings: emit + df/tf-idf/per-stem order in one shuffle
+    # 4b. postings: emit + df/tf-idf/per-stem order in ONE shuffle, keyed on
+    # the stable stem-hash bucket (512 fat groups — grouping on the raw stem
+    # would make millions of one-row bigram groups, see emit_postings_batch)
     postings = (
         docs
         .map_batches(_postings_input_batch, fn_kwargs={"doc_num": doc_num},
                      batch_format="pyarrow")
         .map_batches(emit_postings_batch, batch_format="pyarrow")
-        .groupby(["stem", "is_bigram"])
+        .groupby("bucket")
         .map_groups(
             lambda g: score_stem_group(g, n_docs), batch_format="pyarrow",
         )

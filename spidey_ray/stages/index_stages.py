@@ -170,13 +170,27 @@ POSTINGS_SCHEMA = pa.schema(
         ("positions", pa.list_(pa.int32())),
         ("wtf", pa.float64()),
         ("is_bigram", pa.bool_()),
+        ("bucket", pa.int32()),       # stable hash(stem) bucket — shuffle key
     ]
 )
+
+N_STEM_BUCKETS = 512
+
+
+def _stem_bucket(stem: str) -> int:
+    import zlib
+
+    return zlib.crc32(stem.encode("utf-8")) % N_STEM_BUCKETS
 
 
 def emit_postings_batch(batch: pa.Table) -> pa.Table:
     """Surviving docs (with int64 doc_id already assigned) → posting rows for
-    both the unigram and bigram indexes, with the Ranking weight precomputed."""
+    both the unigram and bigram indexes, with the Ranking weight precomputed.
+
+    Rows carry a stable stem-hash ``bucket``: the scoring shuffle groups on
+    the bucket (512 fat groups), NOT on the stem — bigram stems are
+    near-unique, and millions of one-row groups make ``map_groups``
+    pathological (per-group dispatch dominates)."""
     out = {n: [] for n in POSTINGS_SCHEMA.names}
     for doc_id, title, spans in zip(
         batch["doc_num"].to_pylist(), batch["title"].to_pylist(),
@@ -191,6 +205,7 @@ def emit_postings_batch(batch: pa.Table) -> pa.Table:
                 out["positions"].append(positions)
                 out["wtf"].append(positions_to_rank(positions, extents))
                 out["is_bigram"].append(is_bigram)
+                out["bucket"].append(_stem_bucket(stem))
     return pa.Table.from_pydict(out, schema=POSTINGS_SCHEMA)
 
 
@@ -206,32 +221,34 @@ SCORED_SCHEMA = pa.schema(
 
 
 def score_stem_group(group: pa.Table, num_documents: int) -> pa.Table:
-    """groupby(stem, is_bigram) → tf-idf + within-stem ordering
-    (Indexer.py:142-173). Arrow in / Arrow out — the nested ``positions``
-    column must not round-trip through pandas."""
-    rows = sorted(
-        zip(group["doc_id"].to_pylist(), group["positions"].to_pylist(),
-            group["wtf"].to_pylist()),
-        key=lambda r: r[0],          # doc write order
-    )
-    dfreq = len(rows)
-    idf = math.log10(num_documents / dfreq)
-    scored = [
-        (d, pos, round((1.0 + math.log10(w)) * idf, 4) if w > 0 else 0.0)
-        for d, pos, w in rows
-    ]
-    is_bigram = bool(group["is_bigram"][0].as_py())
-    if not is_bigram:
-        # unigram postings sorted by tfidf desc, stable (Indexer.py:166-168)
-        scored.sort(key=lambda r: -r[2])
-    stem = group["stem"][0].as_py()
-    return pa.Table.from_pydict(
-        {
-            "stem": [stem] * dfreq,
-            "doc_id": [r[0] for r in scored],
-            "positions": [r[1] for r in scored],
-            "tfidf": [r[2] for r in scored],
-            "is_bigram": [is_bigram] * dfreq,
-        },
-        schema=SCORED_SCHEMA,
-    )
+    """One stem-hash BUCKET of postings → tf-idf + within-stem ordering
+    (Indexer.py:142-173) for every (stem, is_bigram) inside it.  Arrow in /
+    Arrow out — the nested ``positions`` column must not round-trip through
+    pandas."""
+    by_stem: dict[tuple, list] = {}
+    for stem, doc_id, positions, wtf, is_bigram in zip(
+        group["stem"].to_pylist(), group["doc_id"].to_pylist(),
+        group["positions"].to_pylist(), group["wtf"].to_pylist(),
+        group["is_bigram"].to_pylist(),
+    ):
+        by_stem.setdefault((stem, is_bigram), []).append((doc_id, positions, wtf))
+
+    out = {n: [] for n in SCORED_SCHEMA.names}
+    for (stem, is_bigram), rows in by_stem.items():
+        rows.sort(key=lambda r: r[0])          # doc write order
+        dfreq = len(rows)
+        idf = math.log10(num_documents / dfreq)
+        scored = [
+            (d, pos, round((1.0 + math.log10(w)) * idf, 4) if w > 0 else 0.0)
+            for d, pos, w in rows
+        ]
+        if not is_bigram:
+            # unigram postings sorted by tfidf desc, stable (Indexer.py:166-168)
+            scored.sort(key=lambda r: -r[2])
+        for d, pos, tf in scored:
+            out["stem"].append(stem)
+            out["doc_id"].append(d)
+            out["positions"].append(pos)
+            out["tfidf"].append(tf)
+            out["is_bigram"].append(is_bigram)
+    return pa.Table.from_pydict(out, schema=SCORED_SCHEMA)
