@@ -79,16 +79,6 @@ ROUND_SCHEMA = pa.schema(
     ]
 )
 
-_EMPTY = {
-    "seq": 0, "link_idx": 0, "url": "", "final_url": "", "status": 0,
-    "host": "", "depth": 0, "parent_url": "", "empty": False, "tag_count": 0,
-    "is_sitemap": False, "n_tokens": 0, "simhash": 0, "title": "",
-    "content_len": 0, "tok_tokens": [], "tok_counts": [],
-    "sorted_url": "", "orig_link": "",
-    "norm_url": "", "url_hash": b"", "pattern": "", "reason": "",
-    "temporary": False,
-}
-
 DOCS_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
