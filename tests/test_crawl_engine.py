@@ -121,6 +121,23 @@ class TestMediumWeb:
             assert got[k] == o.documents[k], k
 
 
+class TestAlternateSeed:
+    def test_different_seed_web_still_exact(self, ray_session, tmp_path):
+        """Guard against seed-42 coincidences: a different web (different
+        content, graph, trap shapes) must still match the oracle exactly."""
+        from spidey_ray.pipelines.crawl import CrawlEngine
+        from spidey_ray.pipelines.oracle import crawl_serial
+
+        cfg = WebConfig(seed=7, n_hosts=10, pages_per_host=14, n_seeds=5)
+        o = crawl_serial(cfg)
+        e = CrawlEngine(cfg, ckpt_dir=str(tmp_path / "ck")).run()
+        assert e.fetch_log == o.fetch_log
+        assert e.seen_hashes == o.seen_hashes
+        assert e.token_counts == o.token_counts
+        assert dict(e.blacklist.permanent) == dict(o.blacklist.permanent)
+        assert e.blacklist.temp == o.blacklist.temp
+
+
 class TestResume:
     def test_resume_from_checkpoint_identical(self, ray_session, small_web, tmp_path):
         from spidey_ray.pipelines.crawl import CrawlEngine
