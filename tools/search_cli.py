@@ -53,6 +53,12 @@ def main() -> None:
         fi = build_demo_index(index_dir)
         num_docs = fi.num_documents
     else:
+        if not os.path.isdir(os.path.join(index_dir, "doc_meta")):
+            print(f"error: {index_dir!r} is not an index directory "
+                  "(expected doc_meta/ and postings/ from "
+                  "pipelines.filter_index.run_filter_index; or pass 'demo')",
+                  file=sys.stderr)
+            sys.exit(2)
         meta = sio.read_table_arrow(os.path.join(index_dir, "doc_meta"))
         num_docs = meta.num_rows
     qi = QueryIndex(
