@@ -152,6 +152,16 @@ def q_topk_orders(sf_dir: str):
     )
 
 
+def q_sort_limit(sf_dir: str):
+    """Global multi-key sort + limit (the shuffle-heavy ordering step)."""
+    return (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+        .sort(["l_extendedprice", "l_orderkey", "l_linenumber"],
+              descending=[True, False, False])
+        .limit(100)
+    )
+
+
 def q_semi_join(sf_dir: str):
     """Customers having an order > 100000 (broadcast key-set semi join)."""
     big = (
@@ -771,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": q_hash_join,
         "broadcast_join": q_broadcast_join,
         "topk_orders": q_topk_orders,
+        "sort_limit": q_sort_limit,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "distinct": q_distinct,
@@ -844,6 +855,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             select o_orderkey, o_totalprice from orders
             order by o_totalprice desc, o_orderkey limit 10
+        """,
+        "sort_limit": """
+            select l_orderkey, l_linenumber, l_extendedprice from lineitem
+            order by l_extendedprice desc, l_orderkey, l_linenumber limit 100
         """,
         "semi_join": """
             select c_custkey, c_name from customer

@@ -41,6 +41,19 @@ BAD_EXT_PATH_PATTERN = re.compile(
 # The reference pins UCI domains (scraper.py:130-131); the rebuild makes the
 # allowed-netloc pattern a config knob with this default for synthetic webs.
 DEFAULT_NETLOC_PATTERN = re.compile(r"^([-a-z0-9]+\.)*example\.(com|org|net)$")
+# The reference's own allowed-domain pattern, verbatim (scraper.py:130-131),
+# for running against the reference seed list on a networked deployment.
+REFERENCE_NETLOC_PATTERN = re.compile(
+    r"^(([-a-z0-9]+\.)*(ics\.uci\.edu|cs\.uci\.edu|informatics\.uci\.edu|stat\.uci\.edu))"
+    r"|today\.uci\.edu\/department\/information_computer_sciences$"
+)
+# Reference seed list (config.ini:10 SEEDURL)
+REFERENCE_SEEDS = [
+    "https://www.ics.uci.edu",
+    "https://www.cs.uci.edu",
+    "https://www.informatics.uci.edu",
+    "https://www.stat.uci.edu",
+]
 
 
 def normalize(url: str) -> str:

@@ -141,4 +141,11 @@ def run_filter_index(
     postings_path = os.path.join(out_dir, "postings")
     sio.write_table(postings, postings_path)
 
+    # num_documents.txt analog (Filter.py:130-131) so an index directory is
+    # self-describing for serving
+    import json
+
+    with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
+        json.dump({"num_documents": n_docs}, f)
+
     return FilterIndexResult(meta_path, postings_path, n_docs)

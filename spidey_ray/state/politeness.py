@@ -59,6 +59,20 @@ class CrawlSettings:
 
         return re.compile(self.netloc_regex)
 
+    @classmethod
+    def reference(cls, **overrides) -> "CrawlSettings":
+        """Settings matching the reference deployment: UCI domain allowlist,
+        0.5 s politeness, path-repeat threshold 3 (config.ini:10-13). Use
+        with the REFERENCE_SEEDS list and a real fetcher on a networked
+        cluster."""
+        base = dict(
+            politeness=0.5,
+            path_repeat_threshold=3,
+            netloc_regex=urltools.REFERENCE_NETLOC_PATTERN.pattern,
+        )
+        base.update(overrides)
+        return cls(**base)
+
 
 @dataclass
 class HostState:
