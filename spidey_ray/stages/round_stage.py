@@ -23,6 +23,14 @@ Output: one union-typed Arrow table with a ``kind`` discriminator:
   'trap' — repeating-path trap pattern emissions (scraper.py:581-609)
 Documents rows (doc_id, spans, title, crawl_seq) are written as parquet
 side-files named by the block's first seq — idempotent under task retry.
+
+Retry discipline (SURVEY.md §7.5.5 "non-idempotent fetch"): the synthetic
+fetch is a pure function, so Ray's default task retries are safe here.  A
+REAL HTTP fetcher must not be retried blindly — politeness and the
+reference's no-retry semantics (non-200 ⇒ blacklist, scraper.py:413-417)
+forbid it — so a networked deployment swaps ``sw.fetch`` for calls into the
+politeness-gated fetcher actors and sets ``max_retries=0`` on this op; the
+rest of the stage (parse/tokenize/links) stays retryable as-is.
 """
 
 from __future__ import annotations
