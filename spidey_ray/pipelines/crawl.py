@@ -178,6 +178,7 @@ class CrawlEngine:
         self._token_partials: list[pd.DataFrame] = []
         self._excluded_docs_all: set[str] = set()
         self._host_allow_all: set[str] = set()
+        self._host_rules: dict[str, str] = {}   # processed rule-bearing hosts
         self.longest: list[tuple[int, str]] = []
         self.fetch_seq = 0
         self.start_round = 0
@@ -351,6 +352,7 @@ class CrawlEngine:
             settings=settings,
             doc_dir=doc_dir,
             base_seq=base_seq,
+            host_rules=dict(self._host_rules),
         )
         inline = len(admitted) <= self.inline_threshold
         if inline:
@@ -478,9 +480,11 @@ class CrawlEngine:
         if len(cand_rows):
             cand_rows = cand_rows.sort_values(
                 ["sorted_url", "orig_link", "parent_url"], kind="mergesort")
-            # links to hosts already known to have rule-free robots bypass the
-            # shard RPC entirely — can_fetch is constant True for them
-            bypass_mask = cand_rows["host"].isin(self._host_allow_all).to_numpy()
+            # links to known hosts bypass the shard RPC: rule-free hosts are
+            # constant-allow; rule-bearing known hosts were evaluated inside
+            # the round stage (their rules shipped as round-start state)
+            known = self._host_allow_all | set(self._host_rules)
+            bypass_mask = cand_rows["host"].isin(known).to_numpy()
             bypass = cand_rows[bypass_mask]
             to_check = cand_rows[~bypass_mask]
             links_by_shard: list[dict[str, list[tuple[str, str]]]] = [
@@ -511,6 +515,8 @@ class CrawlEngine:
                     sm_rows.append((u, depth_of_host[host]))
                 if r["allow_all"]:
                     self._host_allow_all.add(host)
+                elif r.get("robots_txt"):
+                    self._host_rules[host] = r["robots_txt"]
             cand_ok = pd.concat(frames) if frames else cand_rows.iloc[:0]
             add_df = pd.DataFrame({
                 "raw_url": cand_ok["sorted_url"].values,
@@ -682,7 +688,8 @@ class CrawlEngine:
 
         self._token_partials = []
         self._excluded_docs_all = set()
-        self._host_allow_all = set()   # warm cache rebuilt lazily after resume
+        self._host_allow_all = set()   # warm caches rebuilt lazily after resume
+        self._host_rules = {}
         for r in rounds:
             td = pq.read_table(os.path.join(ckpt_dir, r, "token_partials.parquet"))
             self._token_partials.append(td.to_pandas())

@@ -97,6 +97,9 @@ DOCS_SCHEMA = pa.schema(
 )
 
 
+_RULES_CACHE: dict = {}
+
+
 def round_process_batch(
     batch: pa.Table,
     web_cfg: dict,
@@ -104,10 +107,27 @@ def round_process_batch(
     settings: CrawlSettings,
     doc_dir: str | None,
     base_seq: int,
+    host_rules: dict[str, str] | None = None,
 ) -> pa.Table:
     cfg = sw.WebConfig(**web_cfg)
     is_blacklisted = CompiledBlacklist(blacklist_patterns)
     netloc = settings.netloc_pattern()
+    # robots rules of already-processed rule-bearing hosts: immutable after
+    # first sighting, so the gate evaluates in-stage (round-start snapshot,
+    # same as the blacklist); only unknown hosts' links go to the actors
+    host_rules = host_rules or {}
+    compiled_rules: dict[str, object] = {}
+    if host_rules:
+        from ..state.robots import RobotsRules
+
+        for h, txt in host_rules.items():
+            key = (h, txt)
+            r = _RULES_CACHE.get(key)
+            if r is None:
+                if len(_RULES_CACHE) > 4096:
+                    _RULES_CACHE.clear()
+                r = _RULES_CACHE[key] = RobotsRules.parse(txt)
+            compiled_rules[h] = r
 
     def is_valid(u: str) -> bool:
         return urltools.is_valid(u, netloc)
@@ -186,6 +206,11 @@ def round_process_batch(
                 trap_rows["reason"].append(p.reason)
                 trap_rows["temporary"].append(p.temporary)
             if ok:
+                host = urltools.url_host(sortedq)
+                rules = compiled_rules.get(host)
+                if rules is not None and not rules.can_fetch(
+                        settings.user_agent, link):
+                    continue   # robots deny — canFetch(orig link), scraper.py:389
                 norm = urltools.normalize(sortedq)
                 c = cand_rows_
                 c["seq"].append(seq)
@@ -194,7 +219,7 @@ def round_process_batch(
                 c["orig_link"].append(link)
                 c["norm_url"].append(norm)
                 c["url_hash"].append(urltools.url_hash(norm))
-                c["host"].append(urltools.url_host(sortedq))
+                c["host"].append(host)
                 c["depth"].append(depth + 1)
                 c["parent_url"].append(rec.url)
 

@@ -233,12 +233,16 @@ class HostShard:
             mask = [state.can_fetch(orig, self.settings) for (_s, orig) in rows]
             # allow_all: robots missing/unparseable, or parsed but rule-free —
             # can_fetch is constant True, so the driver may cache and skip the
-            # RPC for this host's future links (pure optimization)
+            # RPC for this host's future links.  For rule-bearing hosts the
+            # raw robots.txt is returned once: rules are immutable after first
+            # processing, so future rounds evaluate can_fetch inside the
+            # distributed round stage instead of shipping links here.
             allow_all = state.robots is None or (
                 not state.robots.entries and state.robots.default_entry is None
             )
             out[host] = {"mask": mask, "unchecked": unchecked,
-                         "checked": checked, "allow_all": allow_all}
+                         "checked": checked, "allow_all": allow_all,
+                         "robots_txt": None if allow_all else state.robots_txt}
         return out
 
     def admit(self, cands_by_host: dict[str, int], round_k: int) -> dict:
