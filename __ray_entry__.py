@@ -27,6 +27,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+import spidey_ray  # noqa: F401  (installs the schema-hash log-noise filter)
+
 
 def _quiet():
     ctx = ray.data.DataContext.get_current()
@@ -35,8 +37,16 @@ def _quiet():
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     _quiet()
+    # strip_schema_metadata: pandas-written parquet carries b'pandas' schema
+    # metadata, unhashable on pyarrow 16 → Ray's "Failed to hash the schemas"
+    # warning in every shuffle reduce.  Metadata-only (zero-copy), fuses,
+    # and (being a named spidey_ray function) installs the worker-side
+    # log-noise filter on deserialization.
+    from spidey_ray.io import strip_schema_metadata
+
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -54,14 +64,12 @@ def q_groupby_agg(sf_dir: str):
         disc_price = pc.multiply(t["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0), t["l_discount"]))
         t = t.append_column("disc_price", disc_price)
-        df = t.to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            n=("l_quantity", "size"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+            ("disc_price", "sum"), ("l_quantity", "count"),
+        ])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                                 "sum_base_price", "sum_disc_price", "n"])
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -163,33 +171,51 @@ def q_sort_limit(sf_dir: str):
 
 
 def q_semi_join(sf_dir: str):
-    """Customers having an order > 100000 (broadcast key-set semi join)."""
-    big = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(lambda t: t.filter(pc.greater(t["o_totalprice"], 100000.0)),
-                     batch_format="pyarrow")
-        .to_pandas()
-    )
-    keys = set(big["o_custkey"])
-    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
-        lambda t: t.filter(pa.array([k in keys for k in t["c_custkey"].to_pylist()])),
-        batch_format="pyarrow",
-    )
+    """Customers having an order > 100000 — both sides stream through the
+    general hash-bucket semi join (stages/joins.py); no driver key set."""
+    from spidey_ray.stages.joins import semi_join
+
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 100000.0))
+        .select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow")
+    return semi_join(_read(sf_dir, "customer", ["c_custkey", "c_name"]),
+                     big, on="c_custkey")
 
 
 def q_anti_join(sf_dir: str):
-    """Customers with no order above 300k (broadcast key-set anti join)."""
-    keys = set(
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)),
-                     batch_format="pyarrow")
-        .to_pandas()["o_custkey"]
-    )
-    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
-        lambda t: t.filter(
-            pa.array([k not in keys for k in t["c_custkey"].to_pylist()])),
-        batch_format="pyarrow",
-    )
+    """Customers with no order above 300k — streaming hash-bucket anti join."""
+    from spidey_ray.stages.joins import anti_join
+
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0))
+        .select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow")
+    return anti_join(_read(sf_dir, "customer", ["c_custkey", "c_name"]),
+                     big, on="c_custkey")
+
+
+def q_shuffle_join(sf_dir: str):
+    """orders ⋈ customer with BOTH sides streaming (the reference's
+    docInfo-lookup join shape, Query.py:281-286, at corpus scale): hash-bucket
+    co-partition + in-bucket merge, no broadcast, no driver dict."""
+    from spidey_ray.stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 250000.0)),
+        batch_format="pyarrow")
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name", "c_mktsegment"]),
+        batch_format="pyarrow")
+    out = hash_join(orders, cust, on="o_custkey").to_pandas()
+    out = out[["o_orderkey", "o_custkey", "o_totalprice",
+               "c_name", "c_mktsegment"]]
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out.sort_values(["o_orderkey"]).reset_index(drop=True)
 
 
 def q_distinct(sf_dir: str):
@@ -388,7 +414,10 @@ def q_sessionize(sf_dir: str):
     out["user_id"] = out["user_id"].astype("int64")
     out["session_id"] = out["session_id"].astype("int64")
     out["session_start_us"] = out["session_start_us"].astype("int64")
-    return out
+    out["n_events"] = out["n_events"].astype("int64")
+    # map_groups emission order is nondeterministic: return canonically sorted
+    # so the driver's value hash is stable across runs
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
 def q_asof_join(sf_dir: str):
@@ -784,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_limit": q_sort_limit,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
+        "shuffle_join": q_shuffle_join,
         "distinct": q_distinct,
         "union_groupby": q_union_groupby,
         "grouped_topk": q_grouped_topk,
@@ -868,6 +898,13 @@ def oracle_sql() -> dict[str, str]:
             select c_custkey, c_name from customer
             where c_custkey not in
                 (select o_custkey from orders where o_totalprice > 300000)
+        """,
+        "shuffle_join": """
+            select o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) as o_totalprice,
+                   c.c_name, c.c_mktsegment
+            from orders o join customer c on o.o_custkey = c.c_custkey
+            where o.o_totalprice > 250000
+            order by o.o_orderkey
         """,
         "distinct": "select distinct lang, source from documents",
         "union_groupby": """

@@ -15,4 +15,20 @@ reference (cited throughout as ``backend/...:<line>``) defines *what* is
 computed, not *how*.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+import logging as _logging
+
+
+class _SchemaHashNoise(_logging.Filter):
+    """Ray Data's `unify_schemas` early-exit tries `set(schemas)` and warns
+    when a schema is unhashable (e.g. extension metadata); unification itself
+    still succeeds, so the warning is pure log noise that floods bench/driver
+    output.  Suppress just that one message."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(_SchemaHashNoise())

@@ -32,6 +32,15 @@ def table_format() -> str:
     return "lance" if HAVE_LANCE else "parquet"
 
 
+def strip_schema_metadata(t: pa.Table) -> pa.Table:
+    """Metadata-only (zero-copy) strip of pandas schema metadata: unhashable
+    on pyarrow 16, it floods shuffle logs with Ray's schema-hash warning.
+    A named module-level function on purpose — workers deserialize it by
+    reference, importing ``spidey_ray`` (whose ``__init__`` installs the
+    worker-side log-noise filter)."""
+    return t.replace_schema_metadata(None)
+
+
 def write_table(ds: "ray.data.Dataset | pa.Table", path: str) -> None:
     """Write a Dataset (streaming, one file per block) or small pa.Table
     atomically to ``path`` (a directory). Existing data is replaced."""
@@ -61,7 +70,8 @@ def read_table(path: str, columns: list[str] | None = None) -> "ray.data.Dataset
     read (scraper-scale inputs must never load unused columns)."""
     if HAVE_LANCE:  # pragma: no cover
         return ray.data.read_lance(path, columns=columns)
-    return ray.data.read_parquet(path, columns=columns)
+    return ray.data.read_parquet(path, columns=columns).map_batches(
+        strip_schema_metadata, batch_format="pyarrow")
 
 
 def read_table_arrow(path: str, columns: list[str] | None = None) -> pa.Table:

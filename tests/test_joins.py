@@ -1,0 +1,94 @@
+"""Unit tests for the general distributed equi-join (stages/joins.py) — the
+both-sides-stream hash-bucket join, checked against pandas merge."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _mk(ray, left_n=200, right_n=150, seed=3):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 60, size=left_n),
+        "lv": rng.integers(0, 1000, size=left_n),
+        "name": [f"l{i}" for i in range(left_n)],
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 80, size=right_n),
+        "rv": rng.integers(0, 1000, size=right_n),
+        "name": [f"r{i}" for i in range(right_n)],
+    })
+    import ray.data
+    return (left, right,
+            ray.data.from_pandas(left).repartition(7),
+            ray.data.from_pandas(right).repartition(5))
+
+
+def _canon(df, cols):
+    return (df[cols].sort_values(cols, kind="mergesort")
+            .reset_index(drop=True).astype({c: "int64" for c in cols
+                                            if df[c].dtype != object}))
+
+
+class TestHashJoin:
+    def test_inner_matches_pandas(self, ray_session):
+        import ray
+        from spidey_ray.stages.joins import hash_join
+
+        l_df, r_df, l_ds, r_ds = _mk(ray)
+        out = hash_join(l_ds, r_ds, on="k", num_buckets=8).to_pandas()
+        exp = l_df.merge(r_df.rename(columns={"name": "name_right"}), on="k")
+        cols = ["k", "lv", "rv"]
+        pd.testing.assert_frame_equal(_canon(out, cols), _canon(exp, cols))
+        # collision column got the suffix
+        assert "name_right" in out.columns and "name" in out.columns
+
+    def test_left_join_keeps_unmatched(self, ray_session):
+        import ray
+        from spidey_ray.stages.joins import hash_join
+
+        l_df, r_df, l_ds, r_ds = _mk(ray)
+        out = hash_join(l_ds, r_ds, on="k", how="left").to_pandas()
+        exp = l_df.merge(r_df.rename(columns={"name": "name_right"}),
+                         on="k", how="left")
+        assert len(out) == len(exp)
+        assert out["rv"].isna().sum() == exp["rv"].isna().sum()
+
+    def test_semi_and_anti(self, ray_session):
+        import ray
+        from spidey_ray.stages.joins import semi_join, anti_join
+
+        l_df, r_df, l_ds, r_ds = _mk(ray)
+        semi = semi_join(l_ds, r_ds, on="k").to_pandas()
+        anti = anti_join(l_ds, r_ds, on="k").to_pandas()
+        rkeys = set(r_df["k"])
+        exp_semi = l_df[l_df["k"].isin(rkeys)]
+        exp_anti = l_df[~l_df["k"].isin(rkeys)]
+        assert sorted(semi["name"]) == sorted(exp_semi["name"])
+        assert sorted(anti["name"]) == sorted(exp_anti["name"])
+        assert len(semi) + len(anti) == len(l_df)
+
+    def test_multi_key(self, ray_session):
+        import ray.data
+        from spidey_ray.stages.joins import hash_join
+
+        l_df = pd.DataFrame({"a": [1, 1, 2, 2], "b": ["x", "y", "x", "y"],
+                             "lv": [10, 11, 12, 13]})
+        r_df = pd.DataFrame({"a": [1, 2, 2], "b": ["y", "x", "z"],
+                             "rv": [7, 8, 9]})
+        out = hash_join(ray.data.from_pandas(l_df), ray.data.from_pandas(r_df),
+                        on=["a", "b"]).to_pandas()
+        exp = l_df.merge(r_df, on=["a", "b"])
+        cols = ["a", "lv", "rv"]
+        pd.testing.assert_frame_equal(_canon(out, cols), _canon(exp, cols))
+
+    def test_int_dtypes_survive_union_nullfill(self, ray_session):
+        """The union null-fills the other side's columns; int64 must be
+        restored before the merge so output values stay integral."""
+        import ray
+        from spidey_ray.stages.joins import hash_join
+
+        _, _, l_ds, r_ds = _mk(ray)
+        out = hash_join(l_ds, r_ds, on="k").to_pandas()
+        assert out["lv"].dtype == np.int64
+        assert out["rv"].dtype == np.int64
