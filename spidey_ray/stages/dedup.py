@@ -152,6 +152,31 @@ def _bucket_pairs_ids(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
 
 
+def attach_pair_attrs(pairs: "ray.data.Dataset", attrs: "ray.data.Dataset",
+                      attr_col: str, num_buckets: int = 64) -> "ray.data.Dataset":
+    """Hash-partitioned join of candidate pairs with a per-doc attribute
+    table on BOTH ids: pairs(doc_a, doc_b) ⋈ attrs(doc_id, attr) → pairs +
+    ``_attr_a`` + ``_attr_b``.  This is the scale path for pair
+    verification: nothing corpus-sized is ever broadcast — each attribute
+    row travels through two bucket shuffles instead (Broder '97 dedup at
+    cluster scale; the join operator is stages/joins.py)."""
+    from .joins import hash_join
+
+    def _ren(suffix):
+        # Arrow-native rename: routing a list column through a pandas batch
+        # would re-enter Arrow as a tensor-extension type, which Ray's
+        # shuffle concat handles badly — keep it a plain list type
+        def fn(t: pa.Table) -> pa.Table:
+            m = {"doc_id": f"doc_{suffix}", attr_col: f"_attr_{suffix}"}
+            return t.rename_columns([m.get(c, c) for c in t.column_names])
+        return fn
+
+    a_side = attrs.map_batches(_ren("a"), batch_format="pyarrow")
+    b_side = attrs.map_batches(_ren("b"), batch_format="pyarrow")
+    j = hash_join(pairs, a_side, on="doc_a", num_buckets=num_buckets)
+    return hash_join(j, b_side, on="doc_b", num_buckets=num_buckets)
+
+
 def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
                       num_perm: int = 64, bands: int = 16,
                       text_col: str = "text") -> "ray.data.Dataset":
@@ -159,46 +184,45 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
 
     Shuffle discipline: signatures (num_perm × 8 bytes each) never enter the
     bucket shuffle — only (band, band_hash, doc_id) rows do.  Candidate
-    pairs are verified against a broadcast doc_id→signature map (``ray.put``
-    once); at corpus scale the verification becomes a hash-partitioned join
-    on doc_id instead of a broadcast."""
+    pairs are then verified by a hash-partitioned pairs ⋈ signatures join
+    (attach_pair_attrs): no doc_id→signature map is ever built on the driver
+    or broadcast, so verification memory is O(batch), not O(corpus)."""
     sigs = ds.map_batches(
         _minhash_batch,
         fn_kwargs=dict(num_perm=num_perm, bands=bands, text_col=text_col),
         batch_format="pyarrow",
-    ).materialize()
+    ).materialize()          # distributed (object store), reused 3×
 
-    sig_df = sigs.select_columns(["doc_id", "signature"]).to_pandas()
-    sig_map = {int(d): np.asarray(s, dtype=np.uint64)
-               for d, s in zip(sig_df["doc_id"], sig_df["signature"])}
-    sig_ref = ray.put(sig_map)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        m = ray.get(sig_ref)
-        a = batch["doc_a"].to_pylist()
-        b = batch["doc_b"].to_pylist()
-        a_out, b_out, j_out = [], [], []
-        for x, y in zip(a, b):
-            est = float((m[x] == m[y]).mean())
-            if est >= threshold:
-                a_out.append(x)
-                b_out.append(y)
-                j_out.append(round(est, 4))
-        return pa.table({
-            "doc_a": pa.array(a_out, type=pa.int64()),
-            "doc_b": pa.array(b_out, type=pa.int64()),
-            "jaccard_est": pa.array(j_out, type=pa.float64()),
-        })
-
-    return (
+    cand = (
         sigs.select_columns(["doc_id", "band_hashes"])
         .map_batches(_explode_bands, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(_bucket_pairs_ids, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])          # same pair from several bands
         .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .map_batches(verify, batch_format="pyarrow")
-    )
+    ).materialize()          # candidate set ≪ corpus; reused by both joins
+
+    withsigs = attach_pair_attrs(
+        cand, sigs.select_columns(["doc_id", "signature"]), "signature")
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.table({
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "jaccard_est": pa.array([], type=pa.float64()),
+            })
+        sig_a = np.stack([np.asarray(s, dtype=np.uint64) for s in df["_attr_a"]])
+        sig_b = np.stack([np.asarray(s, dtype=np.uint64) for s in df["_attr_b"]])
+        est = (sig_a == sig_b).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({
+            "doc_a": pa.array(df["doc_a"].to_numpy()[keep], type=pa.int64()),
+            "doc_b": pa.array(df["doc_b"].to_numpy()[keep], type=pa.int64()),
+            "jaccard_est": pa.array(np.round(est[keep], 4), type=pa.float64()),
+        })
+
+    return withsigs.map_batches(verify, batch_format="pandas")
 
 
 def resolve_duplicates(pairs_df: pd.DataFrame) -> dict[int, int]:
@@ -219,17 +243,58 @@ def resolve_duplicates(pairs_df: pd.DataFrame) -> dict[int, int]:
     return {x: find(x) for x in list(parent)}
 
 
+# above this many dropped ids, filter by streaming anti-join instead of a
+# broadcast id array (8 B/id: 2M ids ≈ 16 MB — comfortably broadcastable;
+# a corpus-scale drop set is not)
+_DROP_BROADCAST_LIMIT = 2_000_000
+
+
 def minhash_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
-                  text_col: str = "text") -> "ray.data.Dataset":
-    """Corpus minus minhash-LSH near-duplicates (component min-id survives)."""
-    pairs = minhash_lsh_pairs(ds, threshold, text_col=text_col).to_pandas()
-    labels = resolve_duplicates(pairs)
-    drop = {d for d, rep in labels.items() if rep != d}
-    return ds.map_batches(
-        lambda t: t.filter(
-            pa.array([int(d) not in drop for d in t["doc_id"].to_pylist()])),
-        batch_format="pyarrow",
-    )
+                  text_col: str = "text",
+                  broadcast_limit: int = _DROP_BROADCAST_LIMIT,
+                  ) -> "ray.data.Dataset":
+    """Corpus minus minhash-LSH near-duplicates (component min-id survives).
+
+    Label resolution: verified pairs stream to the driver in chunks
+    (``iter_batches``) — union-find state is O(docs-appearing-in-pairs),
+    which is ≪ corpus.  The survivor filter broadcasts a plain id array
+    while it is small and switches to the streaming anti-join
+    (stages/joins.py) when the drop set is corpus-sized."""
+    pairs = minhash_lsh_pairs(ds, threshold, text_col=text_col)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for batch in pairs.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    drop = sorted(x for x in parent if find(x) != x)
+
+    if len(drop) <= broadcast_limit:
+        drop_ref = ray.put(pa.array(drop, type=pa.int64()))
+
+        def filt(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            d = ray.get(drop_ref)
+            return t.filter(
+                pc.invert(pc.is_in(pc.cast(t["doc_id"], pa.int64()),
+                                   value_set=d)))
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    from .joins import anti_join
+
+    drop_ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(
+        drop, type=pa.int64())}))
+    return anti_join(ds, drop_ds, on="doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -298,69 +363,81 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
 # ---------------------------------------------------------------------------
 
 
+class _NgramSigStage:
+    """Per-doc shingle set + 8 banded minhash bucket hashes, ONE row per doc:
+    the shingle set never rides into the bucket shuffle (it used to travel
+    once per band = 8×); bucket rows are just (doc_id, band, band_hash)."""
+
+    def __init__(self, ngram: int, text_col: str):
+        self.a, self.b = _perm_params(32)
+        self.ngram = ngram
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc, sh_out, bh_out = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch[self.text_col].to_pylist()):
+            sh = shingle_hashes(t, self.ngram)
+            sig = minhash_signature(sh, self.a, self.b)
+            bhs = [hashlib.sha1(sig[b * 4:(b + 1) * 4].tobytes()).hexdigest()[:16]
+                   for b in range(8)]
+            doc.append(d)
+            sh_out.append(sh.tolist())
+            bh_out.append(bhs)
+        return pa.table({
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "shingles": pa.array(sh_out, type=pa.list_(pa.uint64())),
+            "band_hashes": pa.array(bh_out, type=pa.list_(pa.string())),
+        })
+
+
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
                         ngram: int = 3, text_col: str = "text") -> "ray.data.Dataset":
     """Exact word-n-gram Jaccard over LSH-bucketed candidates: a cheap banded
-    minhash proposes buckets, the group stage recomputes TRUE Jaccard from
-    the shingle sets (carried as hashed shingles, not text)."""
-
-    class SigStage:
-        def __init__(self):
-            self.a, self.b = _perm_params(32)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            doc, band, bh, sh_out = [], [], [], []
-            for d, t in zip(batch["doc_id"].to_pylist(),
-                            batch[text_col].to_pylist()):
-                sh = shingle_hashes(t, ngram)
-                sig = minhash_signature(sh, self.a, self.b)
-                for bandi in range(8):
-                    chunk = sig[bandi * 4:(bandi + 1) * 4]
-                    doc.append(d)
-                    band.append(bandi)
-                    bh.append(hashlib.sha1(chunk.tobytes()).hexdigest()[:16])
-                    sh_out.append(sh.tolist())
-            return pa.table({
-                "doc_id": pa.array(doc, type=pa.int64()),
-                "band": pa.array(band, type=pa.int32()),
-                "band_hash": pa.array(bh, type=pa.string()),
-                "shingles": pa.array(sh_out, type=pa.list_(pa.uint64())),
-            })
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        sets = [set(map(int, s)) for s in g["shingles"]]
-        a_out, b_out, j_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i] | sets[j])
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    j_out.append(round(jac, 4))
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "jaccard": j_out})
-
-    sig_cache: dict = _MINHASH_CACHE
+    minhash proposes candidate id pairs (ids only in the bucket shuffle),
+    then TRUE Jaccard is computed from the shingle sets attached by the
+    hash-partitioned pairs ⋈ shingles join (attach_pair_attrs)."""
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         key = ("ngram-sig", ngram, text_col)
-        stage = sig_cache.get(key)
+        stage = _MINHASH_CACHE.get(key)
         if stage is None:
-            stage = sig_cache[key] = SigStage()
+            stage = _MINHASH_CACHE[key] = _NgramSigStage(ngram, text_col)
         return stage(batch)
 
-    pairs = (
-        ds.map_batches(sig_batch, batch_format="pyarrow")
+    sigs = ds.map_batches(sig_batch, batch_format="pyarrow").materialize()
+
+    cand = (
+        sigs.select_columns(["doc_id", "band_hashes"])
+        .map_batches(_explode_bands, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+        .map_groups(_bucket_pairs_ids, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    ).materialize()
+
+    withsh = attach_pair_attrs(
+        cand, sigs.select_columns(["doc_id", "shingles"]), "shingles")
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        a_out, b_out, j_out = [], [], []
+        for a, b, sa, sb in zip(df["doc_a"], df["doc_b"],
+                                df["_attr_a"], df["_attr_b"]):
+            s1 = set(map(int, sa))
+            s2 = set(map(int, sb))
+            union = len(s1 | s2)
+            jac = len(s1 & s2) / union if union else 0.0
+            if jac >= threshold:
+                a_out.append(int(a))
+                b_out.append(int(b))
+                j_out.append(round(jac, 4))
+        return pa.table({
+            "doc_a": pa.array(a_out, type=pa.int64()),
+            "doc_b": pa.array(b_out, type=pa.int64()),
+            "jaccard": pa.array(j_out, type=pa.float64()),
+        })
+
+    return withsh.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -377,46 +454,71 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
     near pairs rarely miss every bucket."""
 
     def sig_stage(batch: pa.Table) -> pa.Table:
+        """One row per doc: unit vector + the 4 probe-table bucket keys.
+        Bucket rows (doc_id, table_i, bucket) are exploded separately so the
+        unit vector enters the bucket shuffle 0× (it used to travel 4×)."""
         emb = np.array(batch[emb_col].to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = emb / norms
         dim = emb.shape[1]
-        doc, table_i, key, vec = [], [], [], []
+        keys_per_table = []
         for t in range(4):
             planes = np.random.default_rng(seed + t).standard_normal((n_planes, dim))
             bits = (unit @ planes.T) > 0
-            keys = np.packbits(bits, axis=1)[:, :2].copy().view(np.uint16).ravel()
-            for i, d in enumerate(batch[id_col].to_pylist()):
-                doc.append(d)
-                table_i.append(t)
-                key.append(int(keys[i]))
-                vec.append(unit[i].tolist())
+            keys_per_table.append(
+                np.packbits(bits, axis=1)[:, :2].copy().view(np.uint16).ravel())
+        buckets = np.stack(keys_per_table, axis=1).astype(np.int32)  # (n, 4)
         return pa.table({
-            "doc_id": pa.array(doc, type=pa.int64()),
-            "table_i": pa.array(table_i, type=pa.int32()),
-            "bucket": pa.array(key, type=pa.int32()),
-            "unit": pa.array(vec, type=pa.list_(pa.float64())),
+            "doc_id": pa.array(batch[id_col].to_pylist(), type=pa.int64()),
+            "unit": pa.array([u.tolist() for u in unit],
+                             type=pa.list_(pa.float64())),
+            "buckets": pa.array([b.tolist() for b in buckets],
+                                type=pa.list_(pa.int32())),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].tolist()
-        mat = np.array([np.asarray(v) for v in g["unit"]])
-        a_out, b_out, c_out = [], [], []
-        if len(ids) > 1:
-            sims = mat @ mat.T
-            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-            for i, j in zip(ii, jj):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-                c_out.append(round(float(sims[i, j]), 4))
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "cosine": c_out})
+    def explode(t: pa.Table) -> pa.Table:
+        n = len(t)
+        docs = np.repeat(np.asarray(t["doc_id"].to_pylist(), dtype=np.int64), 4)
+        tables = np.tile(np.arange(4, dtype=np.int32), n)
+        import pyarrow.compute as _pc
 
-    pairs = (
-        ds.map_batches(sig_stage, batch_format="pyarrow")
+        flat = _pc.list_flatten(t["buckets"].combine_chunks())
+        return pa.table({
+            "doc_id": pa.array(docs),
+            "table_i": pa.array(tables),
+            "bucket": flat,
+        })
+
+    sigs = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
+
+    cand = (
+        sigs.select_columns(["doc_id", "buckets"])
+        .map_batches(explode, batch_format="pyarrow")
         .groupby(["table_i", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+        .map_groups(_bucket_pairs_ids, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    ).materialize()
+
+    withunits = attach_pair_attrs(
+        cand, sigs.select_columns(["doc_id", "unit"]), "unit")
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.table({
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            })
+        ua = np.stack([np.asarray(v) for v in df["_attr_a"]])
+        ub = np.stack([np.asarray(v) for v in df["_attr_b"]])
+        sims = (ua * ub).sum(axis=1)
+        keep = sims >= threshold
+        return pa.table({
+            "doc_a": pa.array(df["doc_a"].to_numpy()[keep], type=pa.int64()),
+            "doc_b": pa.array(df["doc_b"].to_numpy()[keep], type=pa.int64()),
+            "cosine": pa.array(np.round(sims[keep], 4), type=pa.float64()),
+        })
+
+    return withunits.map_batches(verify, batch_format="pandas")

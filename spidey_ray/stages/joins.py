@@ -12,10 +12,15 @@ Shape (generalizing the co-partition pattern proven in
 one-row groups is the slow path; 64-512 fat buckets is the scale path, same
 as the stem-hash buckets in ``pipelines/filter_index.py``), co-partition
 with ONE ``groupby(_bucket)`` shuffle, and run an ordinary pandas hash merge
-inside each bucket.  Only the two projected sides enter the shuffle; the
-bucket hash is deterministic (``pandas.util.hash_pandas_object`` with a
-fixed hash key) so the same key always lands in the same bucket on every
-node.
+inside each bucket.  Blocks stay Arrow through the shuffle — Arrow
+null-fills the other side's columns (including list columns) losslessly,
+and each side is converted to pandas only AFTER the side split, so no
+column ever sees null-fill in pandas and int dtypes survive untouched.
+
+The bucket hash is deterministic (``pandas.util.hash_pandas_object`` with a
+fixed hash key, ``categorize=False`` — factorize's C hashtable truncates
+strings at NUL and would collide distinct composite keys) so the same key
+always lands in the same bucket on every node.
 
 Skew note: one bucket holds ~1/num_buckets of the key space; a single hot
 key cannot be split further by bucketing alone — salt the hot key upstream
@@ -27,21 +32,20 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 _HASH_KEY = "spidey-join-0000"  # 16 bytes, fixed: deterministic across workers
 
 
-def _bucket_of(df: pd.DataFrame, on: list[str], num_buckets: int) -> np.ndarray:
-    # categorize=False: pandas' factorize C-hashtable truncates strings at a
-    # NUL byte, which would collide distinct composite keys; \x1f separator
-    # keeps composite keys unambiguous for ordinary text
+def _bucket_of(t: pa.Table, on: list[str], num_buckets: int) -> pa.Array:
+    df = t.select(on).to_pandas()
     key = (df[on].astype(str).agg("\x1f".join, axis=1)
            if len(on) > 1 else df[on[0]])
     h = pd.util.hash_pandas_object(
         key, index=False, hash_key=_HASH_KEY, categorize=False)
-    return (h % num_buckets).astype(np.int32).to_numpy()
+    return pa.array((h % num_buckets).astype(np.int32).to_numpy())
 
 
 def hash_join(
@@ -56,79 +60,91 @@ def hash_join(
 
     ``how``: ``inner`` | ``left`` | ``semi`` | ``anti`` (semi/anti return
     left columns only).  Right-side non-key columns that collide with left
-    names get ``suffix``.
+    names get ``suffix``.  For ``left``, unmatched right-side int columns
+    surface as Arrow nulls (pandas shows NaN), not a float reinterpretation.
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     on = [on] if isinstance(on, str) else list(on)
 
-    l_schema = left.schema()
-    r_schema = right.schema()
-    left_cols = list(l_schema.names)
-    right_val_cols = [c for c in r_schema.names if c not in on]
-    rename = {c: (c + suffix if c in left_cols else c) for c in right_val_cols}
-    out_right_cols = [rename[c] for c in right_val_cols]
+    left_cols = list(left.schema().names)
+    right_names = list(right.schema().names)
+    rename = {c: (c + suffix if c in left_cols else c)
+              for c in right_names if c not in on}
+    out_right_cols = [rename[c] for c in right_names if c not in on]
 
-    # original Arrow dtypes, for restoring ints the union's null-fill demoted
-    # to float64 in pandas groups
-    l_dtypes = {n: t for n, t in zip(l_schema.names, l_schema.types)}
-    r_dtypes = {rename.get(n, n): t
-                for n, t in zip(r_schema.names, r_schema.types)}
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return t.append_column("_side", pa.array(np.zeros(len(t), dtype=np.int8))) \
+                .append_column("_bucket", _bucket_of(t, on, num_buckets))
 
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(_side=np.int8(0))
-        df["_bucket"] = _bucket_of(df, on, num_buckets)
-        return df
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        t = t.rename_columns([rename.get(c, c) for c in t.column_names])
+        return t.append_column("_side", pa.array(np.ones(len(t), dtype=np.int8))) \
+                .append_column("_bucket", _bucket_of(t, on, num_buckets))
 
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.rename(columns=rename).assign(_side=np.int8(1))
-        df["_bucket"] = _bucket_of(df, on, num_buckets)
-        return df
+    out_cols = (left_cols if how in ("semi", "anti")
+                else left_cols + out_right_cols)
 
-    def _is_int(t) -> bool:
-        # ds.schema().types yields pa.DataType for Arrow blocks but numpy /
-        # python dtypes for pandas blocks — accept both
-        if isinstance(t, pa.DataType):
-            return pa.types.is_integer(t)
-        try:
-            return np.issubdtype(np.dtype(t), np.integer)
-        except TypeError:
-            return False
+    l_tag = left.map_batches(tag_left, batch_format="pyarrow")
+    r_tag = right.map_batches(tag_right, batch_format="pyarrow")
 
-    def _restore(df: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
-        # side-split rows have no nulls of their own: cast back to int where
-        # the source type was integral but null-fill made the column float
-        for c, t in dtypes.items():
-            if c in df.columns and _is_int(t) and df[c].dtype == np.float64:
-                df[c] = df[c].astype(np.int64)
-        return df
+    # concrete Arrow types for every column (one-block schema probe), then
+    # pad BOTH sides to one common schema before the union: Ray's shuffle
+    # concat mishandles blocks with differing column sets when any column is
+    # an extension type, and identical schemas also skip unify entirely
+    field_types: dict[str, pa.DataType] = {}
+    for f in list(l_tag.schema().base_schema) + list(r_tag.schema().base_schema):
+        field_types.setdefault(f.name, f.type)
+    out_schema = pa.schema([(c, field_types[c]) for c in out_cols])
+    all_cols = list(field_types)
 
-    empty_out_cols = (left_cols if how in ("semi", "anti")
-                      else left_cols + out_right_cols)
+    def pad(t: pa.Table) -> pa.Table:
+        for c, typ in field_types.items():
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(len(t), type=typ))
+        return t.select(all_cols)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = _restore(g.loc[g["_side"] == 0, left_cols].copy(), l_dtypes)
-        rg = _restore(g.loc[g["_side"] == 1, on + out_right_cols].copy(),
-                      r_dtypes)
+    l_tag = l_tag.map_batches(pad, batch_format="pyarrow")
+    r_tag = r_tag.map_batches(pad, batch_format="pyarrow")
+
+    def _empty() -> pa.Table:
+        return pa.table({c: pa.array([], type=field_types[c])
+                         for c in out_cols})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # g carries the union's unified Arrow schema: both sides' columns
+        # with correct types, null-filled crosswise.  Split sides FIRST so
+        # each pandas frame only ever holds its own (null-free) columns.
+        for c, typ in field_types.items():
+            if c not in g.column_names:
+                g = g.append_column(c, pa.nulls(len(g), type=typ))
+        side = g["_side"]
+        lg = g.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
+        rg = g.filter(pc.equal(side, 1)).select(on + out_right_cols).to_pandas()
         if how == "semi":
             if rg.empty or lg.empty:
-                return pd.DataFrame(columns=empty_out_cols)
-            keys = rg[on].drop_duplicates()
-            return lg.merge(keys, on=on, how="inner")
-        if how == "anti":
+                return _empty()
+            out = lg.merge(rg[on].drop_duplicates(), on=on, how="inner")
+        elif how == "anti":
             if rg.empty:
-                return lg
-            keys = rg[on].drop_duplicates()
-            m = lg.merge(keys, on=on, how="left", indicator=True)
-            return m.loc[m["_merge"] == "left_only", left_cols]
-        if lg.empty or (rg.empty and how == "inner"):
-            return pd.DataFrame(columns=empty_out_cols)
-        return lg.merge(rg, on=on, how=how)
+                out = lg
+            else:
+                m = lg.merge(rg[on].drop_duplicates(), on=on, how="left",
+                             indicator=True)
+                out = m.loc[m["_merge"] == "left_only", left_cols]
+        else:
+            if lg.empty or (rg.empty and how == "inner"):
+                return _empty()
+            out = lg.merge(rg, on=on, how=how)
+        if out.empty:
+            return _empty()
+        return pa.Table.from_pandas(out[out_cols], schema=out_schema,
+                                    preserve_index=False)
 
-    l_tag = left.map_batches(tag_left, batch_format="pandas")
-    r_tag = right.map_batches(tag_right, batch_format="pandas")
     return l_tag.union(r_tag).groupby("_bucket").map_groups(
-        per_bucket, batch_format="pandas")
+        per_bucket, batch_format="pyarrow")
 
 
 def semi_join(left, right, on, num_buckets: int = 64):

@@ -68,16 +68,48 @@ def cosine_topk(ds: "ray.data.Dataset", query_vecs: np.ndarray, k: int = 10,
     })
 
 
+@ray.remote
+def _block_list_ids(block: pa.Table) -> set:
+    if "list_id" not in block.column_names:   # empty shuffle block
+        return set()
+    return set(block["list_id"].to_pylist())
+
+
+@ray.remote
+def _probe_block(block: pa.Table, q: np.ndarray, k: int,
+                 wanted: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """Partial top-k over one bucket block, restricted to the probed lists."""
+    import pyarrow.compute as pc
+
+    t = block.filter(pc.is_in(block["list_id"],
+                              value_set=pa.array(wanted, type=pa.int32())))
+    if len(t) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.array(t["unit"].to_pylist(), dtype=np.float64)
+    sims = mat @ q
+    idx = np.lexsort((ids, -sims))[:k]
+    return ids[idx], sims[idx]
+
+
 class IvfIndex:
     """IVF-flat index: centroids trained on a sample, vectors assigned to
-    nearest centroid via map_batches, buckets kept as Arrow tables."""
+    nearest centroid via map_batches.
+
+    Scale posture: the driver holds ONLY the centroids and a tiny
+    block→list_ids index.  Assigned vectors stay in the object store as
+    Arrow blocks, clustered by ``list_id`` (one groupby shuffle), and each
+    query probes only the blocks containing its ``n_probe`` nearest lists
+    via targeted Ray tasks — nothing corpus-sized ever materializes on the
+    driver."""
 
     def __init__(self, n_lists: int = 16, n_probe: int = 4, seed: int = 42):
         self.n_lists = n_lists
         self.n_probe = n_probe
         self.seed = seed
         self.centroids: np.ndarray | None = None
-        self.buckets: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._block_refs: list = []
+        self._block_lists: list[set] = []
 
     def _kmeans(self, x: np.ndarray, iters: int = 10) -> np.ndarray:
         rng = np.random.default_rng(self.seed)
@@ -111,29 +143,38 @@ class IvfIndex:
                                  type=pa.list_(pa.float64())),
             })
 
-        assigned = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
-        for lid, g in assigned.groupby("list_id"):
-            self.buckets[int(lid)] = (
-                g["vec_id"].to_numpy(dtype=np.int64),
-                np.array([np.asarray(u) for u in g["unit"]]),
-            )
+        # cluster by list_id (one shuffle) so each Arrow block holds few
+        # lists, keep the blocks in the object store, record which lists
+        # live in which block (tiny driver metadata)
+        assigned = (
+            ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("list_id")
+            .map_groups(lambda g: g, batch_format="pyarrow")
+            .materialize()
+        )
+        self._block_refs = [
+            ref for bundle in assigned.iter_internal_ref_bundles()
+            for ref in bundle.block_refs
+        ]
+        self._block_lists = ray.get(
+            [_block_list_ids.remote(b) for b in self._block_refs])
         return self
 
     def search(self, query_vec: np.ndarray, k: int = 10) -> list[tuple[int, float]]:
         q = _unit(np.atleast_2d(np.asarray(query_vec, dtype=np.float64)))[0]
         order = np.argsort(-(self.centroids @ q))[: self.n_probe]
-        cand_ids, cand_sims = [], []
-        for lid in order:
-            b = self.buckets.get(int(lid))
-            if b is None:
-                continue
-            ids, mat = b
-            sims = mat @ q
-            cand_ids.append(ids)
-            cand_sims.append(sims)
-        if not cand_ids:
+        wanted = set(int(x) for x in order)
+        tasks = [
+            _probe_block.remote(ref, q, k, sorted(wanted))
+            for ref, lists in zip(self._block_refs, self._block_lists)
+            if lists & wanted
+        ]
+        if not tasks:
             return []
-        ids = np.concatenate(cand_ids)
-        sims = np.concatenate(cand_sims)
+        parts = ray.get(tasks)
+        ids = np.concatenate([p[0] for p in parts])
+        sims = np.concatenate([p[1] for p in parts])
+        if len(ids) == 0:
+            return []
         idx = np.lexsort((ids, -sims))[:k]
         return [(int(ids[i]), round(float(sims[i]), 4)) for i in idx]
