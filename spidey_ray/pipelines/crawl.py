@@ -32,13 +32,18 @@ Each round (SURVEY.md §7.2.7, north_rule):
              ``CrawlEngine.resume`` restarts from the last complete round
              (north_rule resumability).
 
-Scale posture (10^10-frontier): driver memory is O(pending + round) — the
-crawled history lives only in the per-round fetched/documents logs; the
-seen set is the sharded cuckoo pool; the remaining driver-side dict
-(gate footprints, for parent/previous-page similarity) is checkpointed
-columnar and its scale path is a batched prefetch from a sharded KV pool
-(parents are always fetched in earlier rounds, so the needed keys are known
-before the gate loop).  Blacklist growth is round-synchronized
+Scale posture (10^10-frontier): driver memory is O(round).  The pending
+frontier is a host-partitioned actor pool (state/frontier.ShardedFrontier)
+aligned shard-for-shard with the politeness pool — only per-host counts and
+the round's admitted window cross the driver; the crawled history lives
+only in the per-round fetched/documents logs on disk (retained in driver
+memory solely for checkpoint-less test runs); the seen set is the sharded
+cuckoo pool; the gate footprints live in a sharded KV pool
+(state/frontier.ShardedFootprints) with a batched per-round prefetch of
+exactly the parent + previous-page keys (parents are always fetched in
+earlier rounds, so the needed keys are known before the gate loop).  Every
+sharded pool checkpoints its own blobs — nothing corpus-sized round-trips
+through the driver.  Blacklist growth is round-synchronized
 (SURVEY.md §7.5.3).  Tiny rounds run the same stage function inline on the
 driver — no per-execution overhead, identical semantics.
 """
@@ -47,7 +52,6 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 import re
 from dataclasses import dataclass, field
 
@@ -62,6 +66,7 @@ import ray.data
 from ..functions import urltools
 from ..sources import synthetic_web as sw
 from ..state.cuckoo import ShardedSeen, key64
+from ..state.frontier import ShardedFootprints, ShardedFrontier
 from ..state.politeness import CrawlSettings, HostShard, host_shard_of
 from ..stages.round_stage import round_process_batch
 from . import crawl_logic
@@ -175,7 +180,9 @@ class CrawlEngine:
         self._pattern = self.settings.netloc_pattern()
         self.gate = GateState()
         self.blacklist = BlacklistState()
-        self._token_partials: list[pd.DataFrame] = []
+        # running token-count accumulator: O(vocabulary), merged per
+        # round (a per-round frame LIST would be O(rounds x round-vocab))
+        self._token_acc: dict[str, int] = {}
         self._excluded_docs_all: set[str] = set()
         self._host_allow_all: set[str] = set()
         self._host_rules: dict[str, str] = {}   # processed rule-bearing hosts
@@ -184,7 +191,15 @@ class CrawlEngine:
         self.start_round = 0
         self.timings: dict[str, float] = {}
 
-        self.pending = _empty_pending()
+        # pending frontier + footprint KV are sharded actor pools: the driver
+        # holds O(round) rows, never the frontier or the crawled history.
+        # Frontier shard count == host shard count so shard i's candidate
+        # counts feed politeness shard i directly (same host_shard_of route).
+        self.frontier = ShardedFrontier(n_host_shards)
+        self.footprints = ShardedFootprints(n_seen_shards)
+        # full fetch history is retained in driver memory ONLY for
+        # checkpoint-less (test-scale) runs; with a ckpt_dir the per-round
+        # fetched_delta parquet on disk IS the log (read back at result time)
         self._fetched_frames: list[pd.DataFrame] = []
 
         self.seen = ShardedSeen(n_shards=n_seen_shards, n_buckets=seen_buckets)
@@ -226,8 +241,7 @@ class CrawlEngine:
                      depth=depth, parent_url=parent, round_added=round_k)
             )
         if rows:
-            self.pending = pd.concat(
-                [self.pending, pd.DataFrame(rows)], ignore_index=True)
+            self.frontier.add_df(pd.DataFrame(rows))
         return len(rows)
 
     def _add_rows_df(self, add_df: pd.DataFrame, round_k: int) -> int:
@@ -251,7 +265,7 @@ class CrawlEngine:
             "parent_url": new["parent_url"].values,
             "round_added": round_k,
         })
-        self.pending = pd.concat([self.pending, rows], ignore_index=True)
+        self.frontier.add_df(rows)
         return len(rows)
 
     # ------------------------------------------------------------------
@@ -261,10 +275,10 @@ class CrawlEngine:
         limit = max_rounds if max_rounds is not None else self.settings.max_rounds
         rounds_done = self.start_round
         for round_k in range(self.start_round, limit):
-            if self.pending.empty:
+            if self.frontier.total() == 0:
                 break
             rounds_done = round_k + 1
-            self._run_round(round_k, self.pending)
+            self._run_round(round_k)
             if self.ckpt_dir:
                 import time as _time
 
@@ -283,7 +297,7 @@ class CrawlEngine:
         self.timings[phase] = self.timings.get(phase, 0.0) + (now - t0)
         return now
 
-    def _run_round(self, round_k: int, pending: pd.DataFrame) -> None:
+    def _run_round(self, round_k: int) -> None:
         import time as _time
 
         settings = self.settings
@@ -293,42 +307,40 @@ class CrawlEngine:
             {"token": pd.Series(dtype=object), "n": pd.Series(dtype="int64")})
         t = _time.perf_counter()
 
-        # ---- 1. politeness admission (host-shard actor pool) ----
-        cands = pending.sort_values(["depth", "url"], kind="mergesort")
-        by_shard: list[dict[str, int]] = [dict() for _ in range(self.n_host_shards)]
-        for host, n in cands["host"].value_counts().items():
-            by_shard[host_shard_of(host, self.n_host_shards)][host] = int(n)
-        admit_refs = [
-            shard.admit.remote(shard_cands, round_k)
-            for shard, shard_cands in zip(self.host_shards, by_shard)
-            if shard_cands
-        ]
-        n_admit: dict[str, int] = {}
-        for out in ray.get(admit_refs):
-            n_admit.update(out)
-        taken: dict[str, int] = {}
-        admit_mask = []
-        for host in cands["host"]:
-            k = taken.get(host, 0)
-            ok = k < n_admit.get(host, 0)
-            taken[host] = k + 1 if ok else k
-            admit_mask.append(ok)
-        admitted = cands[admit_mask]
+        # ---- 1. politeness admission ----
+        # frontier shard i and politeness shard i own the same hosts
+        # (host_shard_of routing): counts flow shard→shard via the driver;
+        # only per-host COUNTS and the admitted window (O(round)) move.
+        shard_counts = self.frontier.host_counts_per_shard()
+        self._round_rows_in = sum(sum(c.values()) for c in shard_counts)
+        admit_refs = {
+            i: shard.admit.remote(counts, round_k)
+            for i, (shard, counts) in enumerate(
+                zip(self.host_shards, shard_counts))
+            if counts
+        }
+        n_admit_per_shard: list[dict[str, int]] = [
+            dict() for _ in range(self.n_host_shards)]
+        for i, ref in admit_refs.items():
+            n_admit_per_shard[i] = ray.get(ref)
+        admitted = self.frontier.admit(n_admit_per_shard)
+        admitted = admitted.sort_values(
+            ["depth", "url"], kind="mergesort").reset_index(drop=True)
         t = self._t("admit", t)
         if admitted.empty:
             return
 
-        # assign canonical seq + global fetch order; move admitted rows from
-        # the pending table into the per-round fetched log (driver memory is
-        # O(pending + round), never O(all crawled))
+        # assign canonical seq + global fetch order (driver memory is
+        # O(round): the frontier stays sharded, history goes to disk)
         admitted = admitted.assign(seq=np.arange(len(admitted), dtype=np.int64))
         fetched = admitted.drop(columns=["round_added"]).assign(
             round_fetched=round_k,
             fetch_seq=self.fetch_seq + admitted["seq"].values,
         ).drop(columns=["seq"]).reset_index(drop=True)
         self._round_fetched = fetched
-        self._fetched_frames.append(fetched)
-        self.pending = self.pending.drop(index=admitted.index).reset_index(drop=True)
+        if not self.ckpt_dir:
+            # no checkpoint log to read back later: keep in memory (test runs)
+            self._fetched_frames.append(fetched)
         self.fetch_seq += len(admitted)
 
         # ---- 2-4. ONE fused streaming execution per round ----
@@ -395,6 +407,17 @@ class CrawlEngine:
             .to_pandas()
             .sort_values("seq", kind="mergesort")
         )
+        # footprint prefetch: the near-dup gates only ever look up the
+        # round's PARENT urls (fetched in earlier rounds) and the carried
+        # previous-page url — batch-fetch exactly those keys from the KV
+        # shards, gate against a round-local dict, write the new footprints
+        # back after the loop.  Driver footprint memory is O(round).
+        fp_keys = set(rec_df["parent_url"]) - {""}
+        if self.gate.previouspage:
+            fp_keys.add(self.gate.previouspage)
+        prefetched = self.footprints.get_many(sorted(fp_keys)) if fp_keys else {}
+        self.gate.page_footprints = dict(prefetched)
+
         is_blacklisted = self.blacklist.matcher()
         new_patterns: list[NewPattern] = []
         expand_urls: set[str] = set()
@@ -421,6 +444,11 @@ class CrawlEngine:
                 expand_urls.add(rec.url)
             if d.count_host is not None:
                 host_count_inc[d.count_host] = host_count_inc.get(d.count_host, 0) + 1
+        new_fp = {u: v for u, v in self.gate.page_footprints.items()
+                  if u not in prefetched}
+        if new_fp:
+            self.footprints.put_many(new_fp)
+        self.gate.page_footprints = {}
         t = self._t("gates", t)
 
         # ---- token-count partials (A3): packed block rows, merged at end ----
@@ -437,7 +465,11 @@ class CrawlEngine:
             partial = pd.DataFrame({"token": pd.Series(dtype=object),
                                     "n": pd.Series(dtype="int64")})
         self._round_token_partial = partial
-        self._token_partials.append(partial)
+        if len(partial):
+            acc = self._token_acc
+            for tok, n in zip(partial["token"].to_numpy(),
+                              partial["n"].to_numpy()):
+                acc[tok] = acc.get(tok, 0) + int(n)
 
         # ---- documents exclusions: the stage wrote the gate-passed SUPERSET;
         # gate-suppressed pages are recorded and filtered at read time ----
@@ -545,37 +577,41 @@ class CrawlEngine:
 
         # ---- 7. round boundary: blacklist growth + cancel (frontier.py:80-92)
         self._round_lineage = dict(
-            round=round_k, rows_in=len(cands), urls_fetched=len(admitted),
+            round=round_k, rows_in=self._round_rows_in,
+            urls_fetched=len(admitted),
             rows_out=n_additions,
             bytes=int(rec_df["content_len"].sum()),
         )
+        cancel_patterns = []
         for p in new_patterns:
             self.blacklist.add(p.pattern, p.reason, p.temporary)
             if p.cancel:
-                cregex = re.compile(p.pattern)
-                hits = self.pending.url.map(lambda u: bool(cregex.match(u)))
-                if hits.any():
-                    cancelled_hashes = [
-                        key64(h) for h in self.pending.loc[hits, "url_hash"]
-                    ]
-                    self.seen.delete(np.array(cancelled_hashes, dtype=np.uint64))
-                    # drop outright: the reference deletes cancelled URLs from
-                    # the shelve so they can be re-added (frontier.py:85-88)
-                    self.pending = self.pending[~hits].reset_index(drop=True)
+                cancel_patterns.append(p.pattern)
+        if cancel_patterns:
+            # shard-side regex cancel; the reference deletes cancelled URLs
+            # from the shelve so they can be re-added (frontier.py:85-88)
+            cancelled = self.frontier.cancel(cancel_patterns)
+            if cancelled:
+                self.seen.delete(np.array(
+                    [key64(h) for h in cancelled], dtype=np.uint64))
         self._t("boundary", t)
 
     # ------------------------------------------------------------------
     def _checkpoint(self, round_k: int) -> None:
         rd = os.path.join(self.ckpt_dir, f"round={round_k:05d}")
         os.makedirs(rd, exist_ok=True)
-        pend = self.pending.copy()
-        pend["url_hash"] = pend["url_hash"].map(bytes)
-        pq.write_table(pa.Table.from_pandas(pend, preserve_index=False),
-                       os.path.join(rd, "pending.parquet"))
+        # sharded state checkpoints itself: each frontier / footprint /
+        # cuckoo shard writes its own blob under the round dir — the blobs
+        # never round-trip through the driver (round-1 verdict #2/#3)
+        self.frontier.checkpoint(rd)
+        self.footprints.checkpoint(rd)
+        self.seen.checkpoint(rd)
         fetched = getattr(self, "_round_fetched", None)
         if fetched is None:
-            fetched = self._fetched_frames[-1].iloc[:0] if self._fetched_frames \
-                else _empty_pending()
+            fetched = _empty_pending().assign(
+                round_fetched=pd.Series(dtype="int64"),
+                fetch_seq=pd.Series(dtype="int64"),
+            ).drop(columns=["round_added"])
         fd = fetched.copy()
         fd["url_hash"] = fd["url_hash"].map(bytes)
         pq.write_table(pa.Table.from_pandas(fd, preserve_index=False),
@@ -591,23 +627,12 @@ class CrawlEngine:
         }
         with open(os.path.join(rd, "gate.json"), "w") as f:
             json.dump(gate_blob, f)
-        fp = self.gate.page_footprints
-        pq.write_table(
-            pa.table({
-                "url": list(fp.keys()),
-                "simhash": pa.array([v[0] for v in fp.values()], type=pa.uint64()),
-                "n_tokens": [v[1] for v in fp.values()],
-            }),
-            os.path.join(rd, "footprints.parquet"),
-        )
         with open(os.path.join(rd, "blacklist.json"), "w") as f:
             json.dump({"permanent": self.blacklist.permanent,
                        "temp": sorted(self.blacklist.temp)}, f)
         host_snaps = ray.get([s.snapshot.remote() for s in self.host_shards])
         with open(os.path.join(rd, "host_shards.json"), "w") as f:
             json.dump(host_snaps, f)
-        with open(os.path.join(rd, "seen_shards.pkl"), "wb") as f:
-            pickle.dump(self.seen.serialize(), f)
         delta = self._round_token_partial
         pq.write_table(
             pa.table({"token": pa.array(delta["token"].astype(str).tolist()
@@ -653,16 +678,10 @@ class CrawlEngine:
         self.start_round = round_k + 1
         self.timings = {}
 
-        pend = pq.read_table(os.path.join(rd, "pending.parquet")).to_pandas()
-        pend["url_hash"] = pend["url_hash"].map(bytes)
-        self.pending = pend
-        self._fetched_frames = []
-        for r in rounds:
-            fd = pq.read_table(
-                os.path.join(ckpt_dir, r, "fetched_delta.parquet")).to_pandas()
-            if len(fd):
-                fd["url_hash"] = fd["url_hash"].map(bytes)
-                self._fetched_frames.append(fd)
+        # sharded state restores itself: each shard loads its own blob
+        self.frontier = ShardedFrontier.restore(rd, self.n_host_shards)
+        self.footprints = ShardedFootprints.restore(rd)
+        self._fetched_frames = []   # read from fetched_delta logs at result time
 
         with open(os.path.join(rd, "gate.json")) as f:
             g = json.load(f)
@@ -672,12 +691,6 @@ class CrawlEngine:
             query_dict={k: [(int(v[0][0]), int(v[0][1])), int(v[1])]
                         for k, v in g["query_dict"].items()},
         )
-        fpt = pq.read_table(os.path.join(rd, "footprints.parquet"))
-        self.gate.page_footprints = {
-            u: (int(s), int(n))
-            for u, s, n in zip(fpt["url"].to_pylist(), fpt["simhash"].to_pylist(),
-                               fpt["n_tokens"].to_pylist())
-        }
         self.fetch_seq = g["fetch_seq"]
         self.longest = [tuple(x) for x in g["longest"]]
 
@@ -686,21 +699,20 @@ class CrawlEngine:
         self.blacklist = BlacklistState(
             permanent=dict(b["permanent"]), temp=set(b["temp"]))
 
-        self._token_partials = []
+        self._token_acc = {}
         self._excluded_docs_all = set()
         self._host_allow_all = set()   # warm caches rebuilt lazily after resume
         self._host_rules = {}
         for r in rounds:
             td = pq.read_table(os.path.join(ckpt_dir, r, "token_partials.parquet"))
-            self._token_partials.append(td.to_pandas())
+            for tok, n in zip(td["token"].to_pylist(), td["n"].to_pylist()):
+                self._token_acc[tok] = self._token_acc.get(tok, 0) + int(n)
             exf = os.path.join(ckpt_dir, r, "excluded_docs.json")
             if os.path.exists(exf):
                 with open(exf) as f:
                     self._excluded_docs_all.update(json.load(f))
 
-        with open(os.path.join(rd, "seen_shards.pkl"), "rb") as f:
-            blobs = pickle.load(f)
-        self.seen = ShardedSeen(n_shards=len(blobs), blobs=blobs)
+        self.seen = ShardedSeen.restore_from_dir(rd)
 
         with open(os.path.join(rd, "host_shards.json")) as f:
             host_snaps = json.load(f)
@@ -715,23 +727,34 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _result(self, rounds_done: int) -> EngineResult:
-        if self._token_partials:
-            allp = pd.concat(self._token_partials, ignore_index=True)
-            merged = allp.groupby("token", sort=False)["n"].sum()
-            token_counts = {t: int(n) for t, n in merged.items()}
-        else:
-            token_counts = {}
+        token_counts = {t: int(n) for t, n in self._token_acc.items()}
         host_snaps: dict[str, dict] = {}
         for snap in ray.get([s.snapshot.remote() for s in self.host_shards]):
             host_snaps.update(snap)
-        if self._fetched_frames:
-            fetched = pd.concat(self._fetched_frames, ignore_index=True) \
+        frames = self._fetched_frames
+        if self.ckpt_dir and not frames:
+            # the on-disk per-round deltas ARE the fetch log; loading it here
+            # is a result-time convenience (tests / small runs) — large jobs
+            # consume the log as a Dataset from disk instead
+            frames = []
+            for r in sorted(os.listdir(self.ckpt_dir)):
+                f = os.path.join(self.ckpt_dir, r, "fetched_delta.parquet")
+                if r.startswith("round=") and os.path.exists(f):
+                    fd = pq.read_table(f).to_pandas()
+                    if len(fd):
+                        fd["url_hash"] = fd["url_hash"].map(bytes)
+                        frames.append(fd)
+        if frames:
+            fetched = pd.concat(frames, ignore_index=True) \
                 .sort_values("fetch_seq")
         else:
             fetched = _empty_pending().assign(fetch_seq=pd.Series(dtype="int64"))
+        pending_df = self.frontier.dump()
+        if len(pending_df):
+            pending_df["url_hash"] = pending_df["url_hash"].map(bytes)
         frontier_all = pd.concat(
             [fetched.assign(status="fetched"),
-             self.pending.assign(status="pending", fetch_seq=-1)],
+             pending_df.assign(status="pending", fetch_seq=-1)],
             ignore_index=True,
         )
         return EngineResult(

@@ -178,7 +178,13 @@ class CuckooShard:
     """One URL-seen shard. Keys arriving here are already routed by
     ``key % n_shards`` so the filter sees a uniform slice of the keyspace."""
 
-    def __init__(self, n_buckets: int = 1 << 14, blob: dict | None = None):
+    def __init__(self, n_buckets: int = 1 << 14, blob: dict | None = None,
+                 blob_path: str | None = None):
+        if blob_path is not None:
+            import pickle
+
+            with open(blob_path, "rb") as f:
+                blob = pickle.load(f)
         self.filter = (
             CuckooFilter.restore(blob) if blob is not None else CuckooFilter(n_buckets)
         )
@@ -195,6 +201,20 @@ class CuckooShard:
     def serialize(self) -> dict:
         return self.filter.serialize()
 
+    def checkpoint(self, path: str) -> int:
+        """Write this shard's own blob — the driver records the path only,
+        never the table (round-1 verdict: serialize() round-tripped every
+        shard's full table through the driver each round)."""
+        import pickle
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(self.filter.serialize(), f)
+        import os
+
+        os.replace(tmp, path)
+        return self.filter.count
+
     def count(self) -> int:
         return self.filter.count
 
@@ -204,9 +224,13 @@ class ShardedSeen:
     one RPC per shard per round-step regardless of URL count."""
 
     def __init__(self, n_shards: int = 4, n_buckets: int = 1 << 14,
-                 blobs: list[dict] | None = None):
+                 blobs: list[dict] | None = None,
+                 blob_paths: list[str] | None = None):
         self.n_shards = n_shards
-        if blobs is not None:
+        if blob_paths is not None:
+            assert len(blob_paths) == n_shards
+            self.shards = [CuckooShard.remote(blob_path=p) for p in blob_paths]
+        elif blobs is not None:
             assert len(blobs) == n_shards
             self.shards = [CuckooShard.remote(blob=b) for b in blobs]
         else:
@@ -243,6 +267,26 @@ class ShardedSeen:
 
     def serialize(self) -> list[dict]:
         return ray.get([s.serialize.remote() for s in self.shards])
+
+    def checkpoint(self, round_dir: str) -> list[str]:
+        """Each shard writes its own blob under ``round_dir``; only paths
+        return to the driver."""
+        import os
+
+        paths = [os.path.join(round_dir, f"seen_shard{i}.pkl")
+                 for i in range(self.n_shards)]
+        ray.get([s.checkpoint.remote(p) for s, p in zip(self.shards, paths)])
+        return paths
+
+    @classmethod
+    def restore_from_dir(cls, round_dir: str) -> "ShardedSeen":
+        import os
+
+        paths = sorted(
+            os.path.join(round_dir, f) for f in os.listdir(round_dir)
+            if f.startswith("seen_shard") and f.endswith(".pkl")
+        )
+        return cls(n_shards=len(paths), blob_paths=paths)
 
     def count(self) -> int:
         return sum(ray.get([s.count.remote() for s in self.shards]))

@@ -1,0 +1,295 @@
+"""Sharded pending-frontier and footprint-KV state (north_rule scale posture:
+driver memory is O(round), never O(frontier) or O(crawled)).
+
+``FrontierShard`` owns the pending rows of its hash-partition of HOSTS — the
+same ``host_shard_of`` routing as the politeness ``HostShard`` pool, so shard
+``i``'s candidate counts feed politeness shard ``i`` directly and the
+frontier is explicitly hash-partitioned by host (north_star).  Each shard:
+
+- keeps per-host row lists and serves politeness admission as "first k rows
+  of the host in canonical (depth, url) order" — the same per-host prefix
+  the reference's single loop admits,
+- cancels blacklisted rows shard-side (regex over its own slice; returns
+  the removed url-hashes so the driver can delete them from the cuckoo
+  shards — ``cancel_urls``, frontier.py:80-92),
+- writes its OWN checkpoint parquet (the driver records paths, never the
+  rows), and restores from it on resume.
+
+``FootprintShard`` is the (url → (simhash, n_tokens)) KV pool behind the
+crawl-time near-dup gates: the gate loop only ever needs the footprints of
+the round's PARENT urls plus the carried previous-page url — all known
+before the loop — so the driver batch-prefetches exactly those keys, runs
+the sequential gates against a round-local dict, and batch-writes the
+round's new footprints back.  Driver footprint memory is O(round); the
+corpus-sized map lives sharded here (replacing the old driver dict that the
+round-1 verdict flagged as O(corpus)).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from .politeness import host_shard_of
+
+_FRONTIER_COLS = ["url", "url_hash", "host", "depth", "parent_url", "round_added"]
+
+
+def _rows_table(rows: list[tuple]) -> pa.Table:
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], type=pa.string()),
+        "url_hash": pa.array([r[1] for r in rows], type=pa.binary()),
+        "host": pa.array([r[2] for r in rows], type=pa.string()),
+        "depth": pa.array([r[3] for r in rows], type=pa.int64()),
+        "parent_url": pa.array([r[4] for r in rows], type=pa.string()),
+        "round_added": pa.array([r[5] for r in rows], type=pa.int64()),
+    })
+
+
+@ray.remote(num_cpus=0.1)
+class FrontierShard:
+    def __init__(self, blob_path: str | None = None):
+        self.by_host: dict[str, list[tuple]] = {}
+        self.n = 0
+        if blob_path and os.path.exists(blob_path):
+            t = pq.read_table(blob_path)
+            self.add(t)
+
+    def add(self, t: pa.Table) -> int:
+        urls = t["url"].to_pylist()
+        hashes = t["url_hash"].to_pylist()
+        hosts = t["host"].to_pylist()
+        depths = t["depth"].to_pylist()
+        parents = t["parent_url"].to_pylist()
+        rounds = t["round_added"].to_pylist()
+        for u, h, ho, d, p, r in zip(urls, hashes, hosts, depths, parents, rounds):
+            self.by_host.setdefault(ho, []).append((u, h, ho, int(d), p, int(r)))
+        self.n += len(urls)
+        return self.n
+
+    def host_counts(self) -> dict[str, int]:
+        return {h: len(rows) for h, rows in self.by_host.items() if rows}
+
+    def admit(self, n_admit: dict[str, int]) -> pa.Table:
+        """Remove and return, per host, the first ``n_admit[host]`` pending
+        rows in canonical (depth, url) order — the admitted prefix the
+        politeness clock granted this round."""
+        out: list[tuple] = []
+        for host, k in n_admit.items():
+            rows = self.by_host.get(host)
+            if not rows or k <= 0:
+                continue
+            rows.sort(key=lambda r: (r[3], r[0]))
+            take, keep = rows[:k], rows[k:]
+            out.extend(take)
+            self.n -= len(take)
+            if keep:
+                self.by_host[host] = keep
+            else:
+                del self.by_host[host]
+        return _rows_table(out)
+
+    def cancel(self, patterns: list[str]) -> list[bytes]:
+        """Drop rows whose url matches any pattern; return their hashes so
+        the driver can delete them from the seen set (frontier.py:85-88)."""
+        rx = re.compile("|".join(f"(?:{p})" for p in patterns))
+        removed: list[bytes] = []
+        for host in list(self.by_host):
+            rows = self.by_host[host]
+            keep = []
+            for r in rows:
+                if rx.match(r[0]):
+                    removed.append(r[1])
+                else:
+                    keep.append(r)
+            if keep:
+                self.by_host[host] = keep
+            else:
+                del self.by_host[host]
+        self.n -= len(removed)
+        return removed
+
+    def count(self) -> int:
+        return self.n
+
+    def dump(self) -> pa.Table:
+        out: list[tuple] = []
+        for rows in self.by_host.values():
+            out.extend(rows)
+        return _rows_table(out)
+
+    def checkpoint(self, path: str) -> int:
+        pq.write_table(self.dump(), path)
+        return self.n
+
+
+class ShardedFrontier:
+    """Driver facade. One RPC per shard per step; only admitted/added rows
+    (O(round)) ever cross the driver boundary."""
+
+    def __init__(self, n_shards: int, blob_paths: list[str] | None = None):
+        self.n_shards = n_shards
+        if blob_paths is not None:
+            self.shards = [FrontierShard.remote(blob_path=p) for p in blob_paths]
+        else:
+            self.shards = [FrontierShard.remote() for _ in range(n_shards)]
+
+    def add_df(self, df: pd.DataFrame) -> None:
+        if not len(df):
+            return
+        # one sha1 per UNIQUE host, not per row (hosts ≪ rows)
+        shard_of = {h: host_shard_of(h, self.n_shards)
+                    for h in df["host"].unique()}
+        shard_idx = df["host"].map(shard_of).to_numpy()
+        refs = []
+        for s in range(self.n_shards):
+            part = df[shard_idx == s]
+            if len(part):
+                refs.append(self.shards[s].add.remote(
+                    pa.Table.from_pandas(part[_FRONTIER_COLS],
+                                         preserve_index=False)))
+        ray.get(refs)
+
+    def host_counts_per_shard(self) -> list[dict[str, int]]:
+        return ray.get([s.host_counts.remote() for s in self.shards])
+
+    def admit(self, n_admit_per_shard: list[dict[str, int]]) -> pd.DataFrame:
+        refs = [
+            s.admit.remote(n_admit)
+            for s, n_admit in zip(self.shards, n_admit_per_shard) if n_admit
+        ]
+        tabs = [t for t in ray.get(refs) if len(t)]
+        if not tabs:
+            return pa.concat_tables([_rows_table([])]).to_pandas()
+        return pa.concat_tables(tabs).to_pandas()
+
+    def cancel(self, patterns: list[str]) -> list[bytes]:
+        outs = ray.get([s.cancel.remote(patterns) for s in self.shards])
+        return [h for out in outs for h in out]
+
+    def total(self) -> int:
+        return sum(ray.get([s.count.remote() for s in self.shards]))
+
+    def dump(self) -> pd.DataFrame:
+        tabs = ray.get([s.dump.remote() for s in self.shards])
+        return pa.concat_tables(tabs).to_pandas()
+
+    def checkpoint(self, round_dir: str) -> list[str]:
+        paths = [os.path.join(round_dir, f"pending_shard{i}.parquet")
+                 for i in range(self.n_shards)]
+        ray.get([s.checkpoint.remote(p) for s, p in zip(self.shards, paths)])
+        return paths
+
+    @classmethod
+    def restore(cls, round_dir: str, n_shards: int) -> "ShardedFrontier":
+        paths = sorted(
+            os.path.join(round_dir, f) for f in os.listdir(round_dir)
+            if f.startswith("pending_shard") and f.endswith(".parquet")
+        )
+        if len(paths) == n_shards:
+            return cls(n_shards, blob_paths=paths)
+        # shard count changed across resume: redistribute by host routing
+        self = cls(n_shards)
+        tabs = [pq.read_table(p) for p in paths]
+        if tabs:
+            self.add_df(pa.concat_tables(tabs).to_pandas())
+        return self
+
+
+# ---------------------------------------------------------------------------
+# footprint KV pool
+# ---------------------------------------------------------------------------
+
+
+@ray.remote(num_cpus=0.05)
+class FootprintShard:
+    def __init__(self, blob_path: str | None = None):
+        self.d: dict[str, tuple[int, int]] = {}
+        if blob_path and os.path.exists(blob_path):
+            t = pq.read_table(blob_path)
+            self.d = {
+                u: (int(s), int(n))
+                for u, s, n in zip(t["url"].to_pylist(),
+                                   t["simhash"].to_pylist(),
+                                   t["n_tokens"].to_pylist())
+            }
+
+    def get_many(self, urls: list[str]) -> dict[str, tuple[int, int]]:
+        return {u: self.d[u] for u in urls if u in self.d}
+
+    def put_many(self, items: dict[str, tuple[int, int]]) -> int:
+        self.d.update(items)
+        return len(self.d)
+
+    def count(self) -> int:
+        return len(self.d)
+
+    def checkpoint(self, path: str) -> int:
+        pq.write_table(
+            pa.table({
+                "url": pa.array(list(self.d.keys()), type=pa.string()),
+                "simhash": pa.array([np.uint64(v[0]) for v in self.d.values()],
+                                    type=pa.uint64()),
+                "n_tokens": pa.array([v[1] for v in self.d.values()],
+                                     type=pa.int64()),
+            }),
+            path,
+        )
+        return len(self.d)
+
+
+class ShardedFootprints:
+    """Batched (url → footprint) KV facade; keys route by host-style hash."""
+
+    def __init__(self, n_shards: int, blob_paths: list[str] | None = None):
+        self.n_shards = n_shards
+        if blob_paths is not None:
+            self.shards = [FootprintShard.remote(blob_path=p) for p in blob_paths]
+        else:
+            self.shards = [FootprintShard.remote() for _ in range(n_shards)]
+
+    def _route(self, url: str) -> int:
+        # crc32: deterministic across processes (restores must re-find keys
+        # in the same shard) and ~20× cheaper than sha1 at per-url volume
+        import zlib
+
+        return zlib.crc32(url.encode()) % self.n_shards
+
+    def get_many(self, urls: list[str]) -> dict[str, tuple[int, int]]:
+        by_shard: list[list[str]] = [[] for _ in range(self.n_shards)]
+        for u in urls:
+            by_shard[self._route(u)].append(u)
+        refs = [s.get_many.remote(us)
+                for s, us in zip(self.shards, by_shard) if us]
+        out: dict[str, tuple[int, int]] = {}
+        for d in ray.get(refs):
+            out.update(d)
+        return out
+
+    def put_many(self, items: dict[str, tuple[int, int]]) -> None:
+        by_shard: list[dict] = [dict() for _ in range(self.n_shards)]
+        for u, v in items.items():
+            by_shard[self._route(u)][u] = v
+        refs = [s.put_many.remote(d)
+                for s, d in zip(self.shards, by_shard) if d]
+        ray.get(refs)
+
+    def checkpoint(self, round_dir: str) -> list[str]:
+        paths = [os.path.join(round_dir, f"footprints_shard{i}.parquet")
+                 for i in range(self.n_shards)]
+        ray.get([s.checkpoint.remote(p) for s, p in zip(self.shards, paths)])
+        return paths
+
+    @classmethod
+    def restore(cls, round_dir: str) -> "ShardedFootprints":
+        paths = sorted(
+            os.path.join(round_dir, f) for f in os.listdir(round_dir)
+            if f.startswith("footprints_shard") and f.endswith(".parquet")
+        )
+        return cls(len(paths), blob_paths=paths)
