@@ -166,6 +166,9 @@ class CrawlEngine:
         fetch_batch_size: int = 16,
         seen_buckets: int = 1 << 14,
         inline_threshold: int = 128,
+        fetch_module: str = "spidey_ray.sources.synthetic_web",
+        fetch_name: str = "make_fetch_fn",
+        fetch_kwargs: dict | None = None,
     ):
         self.web_cfg = web_cfg
         self.settings = settings or CrawlSettings()
@@ -176,6 +179,15 @@ class CrawlEngine:
         self.fetch_batch_size = fetch_batch_size
         self.seen_buckets = seen_buckets
         self.inline_threshold = inline_threshold
+        # pluggable fetcher (module, factory, kwargs): synthetic by default;
+        # a REAL fetcher (sources/http_fetch.py) is non-idempotent, so the
+        # fused stage runs with max_retries=0 when one is configured
+        self.fetch_module = fetch_module
+        self.fetch_name = fetch_name
+        self.fetch_kwargs = (fetch_kwargs if fetch_kwargs is not None
+                             else _cfg_dict(web_cfg))
+        self._synthetic_fetch = (
+            fetch_module == "spidey_ray.sources.synthetic_web")
 
         self._pattern = self.settings.netloc_pattern()
         self.gate = GateState()
@@ -205,8 +217,8 @@ class CrawlEngine:
         self.seen = ShardedSeen(n_shards=n_seen_shards, n_buckets=seen_buckets)
         self.host_shards = [
             HostShard.remote(
-                self.settings, "spidey_ray.sources.synthetic_web",
-                "make_fetch_fn", _cfg_dict(web_cfg),
+                self.settings, self.fetch_module, self.fetch_name,
+                self.fetch_kwargs,
             )
             for _ in range(n_host_shards)
         ]
@@ -365,6 +377,9 @@ class CrawlEngine:
             doc_dir=doc_dir,
             base_seq=base_seq,
             host_rules=dict(self._host_rules),
+            fetch_spec=(None if self._synthetic_fetch else
+                        (self.fetch_module, self.fetch_name,
+                         self.fetch_kwargs)),
         )
         inline = len(admitted) <= self.inline_threshold
         if inline:
@@ -389,6 +404,10 @@ class CrawlEngine:
                     batch_size=None,       # whole blocks: block-level token
                                            # partials + one doc side-file each
                     num_cpus=1,
+                    # a real fetch is non-idempotent (politeness budgets,
+                    # no-retry semantics, scraper.py:413-417)
+                    **({} if self._synthetic_fetch
+                       else {"max_retries": 0}),
                 )
                 .materialize()
             )
@@ -674,6 +693,12 @@ class CrawlEngine:
         self.fetch_batch_size = kwargs.get("fetch_batch_size", 16)
         self.seen_buckets = kwargs.get("seen_buckets", 1 << 14)
         self.inline_threshold = kwargs.get("inline_threshold", 128)
+        self.fetch_module = kwargs.get(
+            "fetch_module", "spidey_ray.sources.synthetic_web")
+        self.fetch_name = kwargs.get("fetch_name", "make_fetch_fn")
+        self.fetch_kwargs = kwargs.get("fetch_kwargs") or _cfg_dict(web_cfg)
+        self._synthetic_fetch = (
+            self.fetch_module == "spidey_ray.sources.synthetic_web")
         self._pattern = self.settings.netloc_pattern()
         self.start_round = round_k + 1
         self.timings = {}
@@ -718,8 +743,8 @@ class CrawlEngine:
             host_snaps = json.load(f)
         self.host_shards = [
             HostShard.remote(
-                self.settings, "spidey_ray.sources.synthetic_web",
-                "make_fetch_fn", _cfg_dict(web_cfg), snapshot=snap,
+                self.settings, self.fetch_module, self.fetch_name,
+                self.fetch_kwargs, snapshot=snap,
             )
             for snap in host_snaps
         ]

@@ -85,11 +85,78 @@ def _postings_input_batch(batch: pa.Table, doc_num: dict) -> pa.Table:
     return t.append_column("doc_num", nums)
 
 
+def _doc_meta_batch_joined(batch: pa.Table) -> pa.Table:
+    """doc_meta over the docs ⋈ doc-numbers join output (scale path: the
+    join already filtered non-survivors and attached ``doc_num``)."""
+    out = {n: [] for n in DOC_META_SCHEMA.names}
+    for url, title, spans, num in zip(
+        batch["doc_id"].to_pylist(), batch["title"].to_pylist(),
+        batch["spans"].to_pylist(), batch["doc_num"].to_pylist(),
+    ):
+        stream = doc_token_stream(spans)
+        extents = doc_extents(spans)
+        out["doc_id"].append(int(num))
+        out["title"].append(title)
+        out["url"].append(url)
+        out["n_tokens"].append(len(stream))
+        out["tag_extents"].append(
+            [{"tag": t, "start": e[0], "end": e[1]}
+             for t in extents for e in extents[t]]
+        )
+    return pa.Table.from_pydict(out, schema=DOC_META_SCHEMA)
+
+
+def assign_doc_numbers(survivors: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distributed rank over crawl_seq → (doc_id, doc_num) with contiguous
+    crawl-order ordinals (the reference's enumeration doc ids, Indexer.py:96):
+    sort, then a prefix-sum over the sorted blocks' row counts gives each
+    block its offset — no driver-side enumeration of the corpus."""
+    import ray
+
+    mat = survivors.sort("crawl_seq").materialize()
+    bundles = list(mat.iter_internal_ref_bundles())
+
+    @ray.remote
+    def _rank_block(block, offset: int) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        if isinstance(block, pd.DataFrame):        # pandas-format block
+            ids = (block["doc_id"].tolist()
+                   if "doc_id" in block.columns else [])
+        elif len(block) and "doc_id" in block.column_names:
+            ids = block["doc_id"].to_pylist()
+        else:                                      # empty shuffle block
+            ids = []
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.string()),
+            "doc_num": pa.array(
+                np.arange(offset, offset + len(ids), dtype=np.int64)),
+        })
+
+    refs, off = [], 0
+    for b in bundles:
+        for block_ref, meta in zip(b.block_refs, b.metadata):
+            refs.append(_rank_block.remote(block_ref, off))
+            off += meta.num_rows
+    if not refs:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.string()),
+            "doc_num": pa.array([], type=pa.int64())}))
+    return ray.data.from_arrow_refs(refs)
+
+
+# above this many survivors, attach doc numbers by a streaming hash join
+# instead of broadcasting a url→ordinal dict into the stage closures
+_DOCNUM_BROADCAST_LIMIT = 2_000_000
+
+
 def run_filter_index(
     documents: "ray.data.Dataset",
     out_dir: str,
     bucket_size: int = 100,
     dup_threshold: float = 0.975,
+    broadcast_limit: int = _DOCNUM_BROADCAST_LIMIT,
 ) -> FilterIndexResult:
     """documents(doc_id, spans, title, crawl_seq) → doc_meta + postings."""
     docs = documents
@@ -111,17 +178,34 @@ def run_filter_index(
             lambda g: near_dup_group(g, dup_threshold), batch_format="pandas",
         )
         .select_columns(["doc_id", "crawl_seq"])
-        .to_pandas()
     )
 
-    # 3. doc-number assignment by crawl order (reference doc-id semantics)
-    survivors = survivors.sort_values("crawl_seq", kind="mergesort")
-    doc_num = {u: i for i, u in enumerate(survivors["doc_id"])}
-    n_docs = len(doc_num)
+    # 3. doc-number assignment by crawl order (reference doc-id semantics):
+    # a distributed rank; stays a Dataset end-to-end
+    ranked = assign_doc_numbers(survivors).materialize()
+    n_docs = ranked.count()
 
-    # 4a. doc_meta
-    doc_meta = docs.map_batches(
-        _doc_meta_batch, fn_kwargs={"doc_num": doc_num}, batch_format="pyarrow")
+    if n_docs <= broadcast_limit:
+        # fast path: the ordinal map fits comfortably in a broadcast
+        rdf = ranked.to_pandas()
+        doc_num = dict(zip(rdf["doc_id"], rdf["doc_num"]))
+        doc_meta = docs.map_batches(
+            _doc_meta_batch, fn_kwargs={"doc_num": doc_num},
+            batch_format="pyarrow")
+        numbered = docs.map_batches(
+            _postings_input_batch, fn_kwargs={"doc_num": doc_num},
+            batch_format="pyarrow")
+    else:
+        # scale path: survivors ⋈ docs by doc_id — both sides stream, the
+        # ordinal map never materializes anywhere (round-1 verdict: the
+        # closure-captured dict is corpus-sized at 100×)
+        from ..stages.joins import hash_join
+
+        numbered = hash_join(docs, ranked, on="doc_id",
+                             num_buckets=256).materialize()
+        doc_meta = numbered.map_batches(
+            _doc_meta_batch_joined, batch_format="pyarrow")
+
     meta_path = os.path.join(out_dir, "doc_meta")
     sio.write_table(doc_meta, meta_path)
 
@@ -129,9 +213,7 @@ def run_filter_index(
     # the stable stem-hash bucket (512 fat groups — grouping on the raw stem
     # would make millions of one-row bigram groups, see emit_postings_batch)
     postings = (
-        docs
-        .map_batches(_postings_input_batch, fn_kwargs={"doc_num": doc_num},
-                     batch_format="pyarrow")
+        numbered
         .map_batches(emit_postings_batch, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(

@@ -98,6 +98,29 @@ DOCS_SCHEMA = pa.schema(
 
 
 _RULES_CACHE: dict = {}
+_FETCH_CACHE: dict = {}
+
+
+def _resolve_fetch(fetch_spec: tuple | None, cfg: "sw.WebConfig"):
+    """FetchFn for this stage task. ``fetch_spec`` is (module, factory_name,
+    kwargs) — e.g. the real HTTP fetcher (sources/http_fetch.py) — or None
+    for the deterministic synthetic web.  Resolved once per worker process
+    (module-level cache), so a real fetcher's session state persists across
+    batches."""
+    if fetch_spec is None:
+        def fetch_fn(url: str):
+            p = sw.fetch(cfg, url)
+            return p.final_url, p.status, p.content
+        return fetch_fn
+    module, name, kwargs = fetch_spec
+    key = (module, name, tuple(sorted(kwargs.items())))
+    fn = _FETCH_CACHE.get(key)
+    if fn is None:
+        import importlib
+
+        fn = _FETCH_CACHE[key] = getattr(
+            importlib.import_module(module), name)(**kwargs)
+    return fn
 
 
 def round_process_batch(
@@ -108,8 +131,10 @@ def round_process_batch(
     doc_dir: str | None,
     base_seq: int,
     host_rules: dict[str, str] | None = None,
+    fetch_spec: tuple | None = None,
 ) -> pa.Table:
     cfg = sw.WebConfig(**web_cfg)
+    fetch_fn = _resolve_fetch(fetch_spec, cfg)
     is_blacklisted = CompiledBlacklist(blacklist_patterns)
     netloc = settings.netloc_pattern()
     # robots rules of already-processed rule-bearing hosts: immutable after
@@ -153,9 +178,9 @@ def round_process_batch(
     ):
         if first_seq is None or seq < first_seq:
             first_seq = seq
-        page = sw.fetch(cfg, url)
+        final_url, status, content = fetch_fn(url)
         rec, spans, tokens = parse_fetch(
-            url, page.final_url, page.status, page.content, depth, parent)
+            url, final_url, status, content, depth, parent)
         r = rec_rows
         r["seq"].append(seq)
         r["url"].append(rec.url)
@@ -170,7 +195,7 @@ def round_process_batch(
         r["n_tokens"].append(rec.n_tokens)
         r["simhash"].append(rec.simhash)
         r["title"].append(rec.title)
-        r["content_len"].append(len(page.content))
+        r["content_len"].append(len(content))
 
         if rec.empty:
             continue

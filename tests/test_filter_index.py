@@ -112,3 +112,35 @@ class TestQuery:
     def test_unknown_term_empty(self, qi):
         res, _ = qi.query("zzzzqqqqxxxx")
         assert res == []
+
+
+class TestJoinPathDocNumbers:
+    def test_join_path_identical_to_broadcast(self, ray_session, doc_rows,
+                                              ray_index, tmp_path):
+        """broadcast_limit=0 forces the scale path (distributed rank +
+        streaming docs ⋈ doc-numbers join) — doc_meta and postings must be
+        byte-identical to the broadcast-dict fast path."""
+        import ray.data
+
+        from spidey_ray import io as sio
+        from spidey_ray.pipelines.filter_index import run_filter_index
+
+        res = run_filter_index(ray.data.from_items(doc_rows),
+                               str(tmp_path / "fij"), broadcast_limit=0)
+        _, meta_b, post_b = ray_index
+        meta_j = sio.read_table_arrow(res.doc_meta_path)
+        post_j = sio.read_table_arrow(res.postings_path)
+
+        def canon_meta(t):
+            rows = [dict(zip(t.column_names, r))
+                    for r in zip(*[t[c].to_pylist() for c in t.column_names])]
+            return sorted(rows, key=lambda r: r["doc_id"])
+
+        def canon_post(t):
+            rows = list(zip(t["stem"].to_pylist(), t["is_bigram"].to_pylist(),
+                            t["doc_id"].to_pylist(), t["tfidf"].to_pylist(),
+                            [tuple(p) for p in t["positions"].to_pylist()]))
+            return sorted(rows)
+
+        assert canon_meta(meta_j) == canon_meta(meta_b)
+        assert canon_post(post_j) == canon_post(post_b)
