@@ -188,8 +188,26 @@ def _basename_title(url: str) -> str:
 
 def tokenized_len(text: str) -> int:
     """len of the space-joined token stream the filter writes per span
-    (Filter.py:77: ``elemText += token + " "``)."""
-    return sum(len(t) + 1 for t, _ in tokenize(text))
+    (Filter.py:77: ``elemText += token + " "``).
+
+    Direct match-span arithmetic instead of running the full tokenizer:
+    identical totals (the apostrophe branch mirrors tokenize()'s contraction
+    expansion) with no per-token string/tuple allocation — this ran once per
+    span and was a top-3 cost of the crawl parse hot path."""
+    from .tokenize import _EXPANSION_SPLIT, INDEX_TOKEN_PATTERN, expand_contractions
+
+    text = text.lower()
+    find = text.find
+    total = 0
+    for m in INDEX_TOKEN_PATTERN.finditer(text):
+        s, e = m.span()
+        if find("'", s, e) == -1:
+            total += e - s + 1
+        else:
+            for t in _EXPANSION_SPLIT.split(expand_contractions(text[s:e])):
+                if t:
+                    total += len(t) + 1
+    return total
 
 
 def parse_document(content: str, url: str, encoding: str = "utf-8") -> ParsedDoc:

@@ -25,43 +25,55 @@ def token_hash64(token: str) -> int:
     return int.from_bytes(hashlib.sha1(token.encode("utf-8")).digest()[:8], "big")
 
 
-# token → ±1 sign row (int8[64], MSB-first); vocabulary is Zipfian so the
-# cache hit rate is high across pages within a worker process
-_SIGN_CACHE: dict[str, np.ndarray] = {}
+# token → row INDEX into one contiguous ±1 sign matrix (int8[·,64],
+# MSB-first); vocabulary is Zipfian so the cache hit rate is high across
+# pages within a worker process.  A single growable matrix + fancy-index
+# gather replaces the old per-call ``np.stack`` of many tiny cached arrays
+# — that stack was the dominant allocation in the crawl parse hot path and
+# a memory-bandwidth consumer at high worker counts (BASELINE.md 8→32 note).
+_SIGN_INDEX: dict[str, int] = {}
+_SIGN_MATRIX: np.ndarray = np.empty((1024, 64), dtype=np.int8)
 _SIGN_CACHE_MAX = 1 << 20
 
 
-def _sign_row(token: str) -> np.ndarray:
-    row = _SIGN_CACHE.get(token)
-    if row is None:
+def _sign_index(token: str) -> int:
+    idx = _SIGN_INDEX.get(token)
+    if idx is None:
+        global _SIGN_MATRIX
+        if len(_SIGN_INDEX) >= _SIGN_CACHE_MAX:
+            _SIGN_INDEX.clear()
+            _SIGN_MATRIX = np.empty((1024, 64), dtype=np.int8)
+        idx = len(_SIGN_INDEX)
+        if idx >= len(_SIGN_MATRIX):
+            grown = np.empty((len(_SIGN_MATRIX) * 2, 64), dtype=np.int8)
+            grown[:len(_SIGN_MATRIX)] = _SIGN_MATRIX
+            _SIGN_MATRIX = grown
         h = hashlib.sha1(token.encode("utf-8")).digest()[:8]
         bits = np.unpackbits(np.frombuffer(h, dtype=np.uint8))  # MSB-first
-        row = (bits.astype(np.int8) * 2 - 1)                    # bit→+1, 0→-1
-        if len(_SIGN_CACHE) >= _SIGN_CACHE_MAX:
-            _SIGN_CACHE.clear()
-        _SIGN_CACHE[token] = row
-    return row
+        _SIGN_MATRIX[idx] = bits.astype(np.int8) * 2 - 1        # bit→+1, 0→-1
+        _SIGN_INDEX[token] = idx
+    return idx
 
 
 def simhash64(freq: dict[str, int]) -> int:
     """64-bit simhash of a token-frequency dict; bit j is the MSB-first
     position, matching the reference's ``format(hash(i), '0>64b')`` layout.
-    vector_j = Σ count·(+1 if bit_j else -1); one matmul over cached rows."""
+    vector_j = Σ count·(+1 if bit_j else -1); one matmul over gathered rows."""
     if not freq:
         return 0
-    rows = np.stack([_sign_row(t) for t in freq])
+    idx = np.fromiter((_sign_index(t) for t in freq), dtype=np.int64,
+                      count=len(freq))
     counts = np.fromiter(freq.values(), dtype=np.int64, count=len(freq))
-    vector = counts @ rows
+    vector = counts @ _SIGN_MATRIX[idx]
     bits = (vector >= 1).astype(np.uint8)
     return int.from_bytes(np.packbits(bits).tobytes(), "big")
 
 
 def simhash_from_tokens(tokens: list[str]) -> tuple[int, int]:
     """(simhash, n_tokens) footprint (scraper.py:327-344)."""
-    freq: dict[str, int] = {}
-    for t in tokens:
-        freq[t] = freq.get(t, 0) + 1
-    return simhash64(freq), len(tokens)
+    from collections import Counter
+
+    return simhash64(Counter(tokens)), len(tokens)
 
 
 def bit_similarity(h1: int, h2: int) -> float:

@@ -173,7 +173,7 @@ def key64(url_hash20: bytes) -> int:
     return int.from_bytes(url_hash20[:8], "big")
 
 
-@ray.remote(num_cpus=0.05)
+@ray.remote(num_cpus=0.01)
 class CuckooShard:
     """One URL-seen shard. Keys arriving here are already routed by
     ``key % n_shards`` so the filter sees a uniform slice of the keyspace."""

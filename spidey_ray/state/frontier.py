@@ -52,7 +52,7 @@ def _rows_table(rows: list[tuple]) -> pa.Table:
     })
 
 
-@ray.remote(num_cpus=0.1)
+@ray.remote(num_cpus=0.01)
 class FrontierShard:
     def __init__(self, blob_path: str | None = None):
         self.by_host: dict[str, list[tuple]] = {}
@@ -207,7 +207,7 @@ class ShardedFrontier:
 # ---------------------------------------------------------------------------
 
 
-@ray.remote(num_cpus=0.05)
+@ray.remote(num_cpus=0.01)
 class FootprintShard:
     def __init__(self, blob_path: str | None = None):
         self.d: dict[str, tuple[int, int]] = {}

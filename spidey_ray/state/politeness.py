@@ -168,7 +168,7 @@ def host_shard_of(host: str, n_shards: int) -> int:
     return int.from_bytes(hashlib.sha1(host.encode()).digest()[:4], "big") % n_shards
 
 
-@ray.remote(num_cpus=0.05)
+@ray.remote(num_cpus=0.01)
 class HostShard:
     """Actor owning the HostState of its hash-partition of hosts."""
 
