@@ -152,6 +152,31 @@ def _bucket_pairs_ids(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
 
 
+def attach_pair_attrs_adaptive(
+    pairs: "ray.data.Dataset", attrs: "ray.data.Dataset", attr_col: str,
+    n_rows: int, broadcast_limit: int, num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """pairs + ``_attr_a``/``_attr_b``, choosing the attach strategy by the
+    attribute-table size (the broadcast-join-threshold pattern): under
+    ``broadcast_limit`` rows the doc_id→attr map is ``ray.put`` once and
+    mapped per batch (fast, no shuffle); above it, the hash-partitioned
+    pairs ⋈ attrs join (attach_pair_attrs) — nothing corpus-sized is ever
+    broadcast at scale."""
+    if n_rows <= broadcast_limit:
+        df = attrs.to_pandas()
+        ref = ray.put(dict(zip(df["doc_id"], df[attr_col])))
+
+        def attach(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            pdf = pdf.copy()
+            pdf["_attr_a"] = pdf["doc_a"].map(m)
+            pdf["_attr_b"] = pdf["doc_b"].map(m)
+            return pdf
+
+        return pairs.map_batches(attach, batch_format="pandas")
+    return attach_pair_attrs(pairs, attrs, attr_col, num_buckets)
+
+
 def attach_pair_attrs(pairs: "ray.data.Dataset", attrs: "ray.data.Dataset",
                       attr_col: str, num_buckets: int = 64) -> "ray.data.Dataset":
     """Hash-partitioned join of candidate pairs with a per-doc attribute
@@ -179,19 +204,23 @@ def attach_pair_attrs(pairs: "ray.data.Dataset", attrs: "ray.data.Dataset",
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
                       num_perm: int = 64, bands: int = 16,
-                      text_col: str = "text") -> "ray.data.Dataset":
+                      text_col: str = "text",
+                      verify_broadcast_limit: int = 200_000) -> "ray.data.Dataset":
     """Near-duplicate candidate pairs via banded minhash LSH.
 
     Shuffle discipline: signatures (num_perm × 8 bytes each) never enter the
-    bucket shuffle — only (band, band_hash, doc_id) rows do.  Candidate
-    pairs are then verified by a hash-partitioned pairs ⋈ signatures join
-    (attach_pair_attrs): no doc_id→signature map is ever built on the driver
-    or broadcast, so verification memory is O(batch), not O(corpus)."""
+    bucket shuffle — only (band, band_hash, doc_id) rows do.  Candidate-pair
+    verification attaches signatures adaptively
+    (attach_pair_attrs_adaptive): broadcast of the signature map while the
+    corpus is small (≤ ``verify_broadcast_limit`` docs ≈ 100 MB of
+    signatures), hash-partitioned pairs ⋈ signatures join beyond — nothing
+    corpus-sized is ever broadcast or driver-resident at scale."""
     sigs = ds.map_batches(
         _minhash_batch,
         fn_kwargs=dict(num_perm=num_perm, bands=bands, text_col=text_col),
         batch_format="pyarrow",
     ).materialize()          # distributed (object store), reused 3×
+    n_docs = sigs.count()
 
     cand = (
         sigs.select_columns(["doc_id", "band_hashes"])
@@ -200,10 +229,13 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
         .map_groups(_bucket_pairs_ids, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])          # same pair from several bands
         .map_groups(lambda g: g.head(1), batch_format="pandas")
-    ).materialize()          # candidate set ≪ corpus; reused by both joins
+    )
+    if n_docs > verify_broadcast_limit:
+        cand = cand.materialize()   # reused by both join passes
 
-    withsigs = attach_pair_attrs(
-        cand, sigs.select_columns(["doc_id", "signature"]), "signature")
+    withsigs = attach_pair_attrs_adaptive(
+        cand, sigs.select_columns(["doc_id", "signature"]), "signature",
+        n_docs, verify_broadcast_limit)
 
     def verify(df: pd.DataFrame) -> pa.Table:
         if df.empty:
@@ -392,11 +424,13 @@ class _NgramSigStage:
 
 
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
-                        ngram: int = 3, text_col: str = "text") -> "ray.data.Dataset":
+                        ngram: int = 3, text_col: str = "text",
+                        verify_broadcast_limit: int = 50_000) -> "ray.data.Dataset":
     """Exact word-n-gram Jaccard over LSH-bucketed candidates: a cheap banded
     minhash proposes candidate id pairs (ids only in the bucket shuffle),
-    then TRUE Jaccard is computed from the shingle sets attached by the
-    hash-partitioned pairs ⋈ shingles join (attach_pair_attrs)."""
+    then TRUE Jaccard is computed from the shingle sets attached adaptively
+    (broadcast map under the limit, hash-partitioned join beyond —
+    shingle sets are ~KB each, so the broadcast limit is conservative)."""
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         key = ("ngram-sig", ngram, text_col)
@@ -406,6 +440,7 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
         return stage(batch)
 
     sigs = ds.map_batches(sig_batch, batch_format="pyarrow").materialize()
+    n_docs = sigs.count()
 
     cand = (
         sigs.select_columns(["doc_id", "band_hashes"])
@@ -414,10 +449,13 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
         .map_groups(_bucket_pairs_ids, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .map_groups(lambda g: g.head(1), batch_format="pandas")
-    ).materialize()
+    )
+    if n_docs > verify_broadcast_limit:
+        cand = cand.materialize()
 
-    withsh = attach_pair_attrs(
-        cand, sigs.select_columns(["doc_id", "shingles"]), "shingles")
+    withsh = attach_pair_attrs_adaptive(
+        cand, sigs.select_columns(["doc_id", "shingles"]), "shingles",
+        n_docs, verify_broadcast_limit)
 
     def verify(df: pd.DataFrame) -> pa.Table:
         a_out, b_out, j_out = [], [], []
@@ -448,7 +486,8 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
 def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
                         n_planes: int = 12, seed: int = 42,
                         emb_col: str = "embedding",
-                        id_col: str = "vec_id") -> "ray.data.Dataset":
+                        id_col: str = "vec_id",
+                        verify_broadcast_limit: int = 100_000) -> "ray.data.Dataset":
     """Cosine near-dup via random-hyperplane LSH buckets + exact verification
     within buckets (Charikar '02). Multi-probe: 4 independent plane sets so
     near pairs rarely miss every bucket."""
@@ -491,6 +530,7 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
         })
 
     sigs = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
+    n_docs = sigs.count()
 
     cand = (
         sigs.select_columns(["doc_id", "buckets"])
@@ -499,10 +539,13 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
         .map_groups(_bucket_pairs_ids, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .map_groups(lambda g: g.head(1), batch_format="pandas")
-    ).materialize()
+    )
+    if n_docs > verify_broadcast_limit:
+        cand = cand.materialize()
 
-    withunits = attach_pair_attrs(
-        cand, sigs.select_columns(["doc_id", "unit"]), "unit")
+    withunits = attach_pair_attrs_adaptive(
+        cand, sigs.select_columns(["doc_id", "unit"]), "unit",
+        n_docs, verify_broadcast_limit)
 
     def verify(df: pd.DataFrame) -> pa.Table:
         if df.empty:

@@ -53,6 +53,17 @@ class TestMinHash:
         assert 0 in kept
         assert 21 not in kept
 
+    def test_join_verify_path_identical(self, docs_ds):
+        """verify_broadcast_limit=0 forces the hash-partitioned
+        pairs ⋈ signatures join (the 100× scale path) — identical pairs."""
+        from spidey_ray.stages.dedup import minhash_lsh_pairs
+
+        a = minhash_lsh_pairs(docs_ds, threshold=0.7).to_pandas()
+        b = minhash_lsh_pairs(docs_ds, threshold=0.7,
+                              verify_broadcast_limit=0).to_pandas()
+        key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b", "jaccard_est"]].values))  # noqa: E731
+        assert key(a) == key(b)
+
     def test_signature_estimates_jaccard(self):
         from spidey_ray.stages.dedup import (
             _perm_params, minhash_signature, shingle_hashes)
