@@ -118,8 +118,10 @@ class EngineResult:
         return sorted(self.token_counts.items(), key=lambda x: (-x[1], x[0]))[:k]
 
     def documents(self) -> pa.Table | None:
-        """Gate-passed documents table: per-round parquet side-files minus
-        the (small) gate-suppressed exclusion set recorded at round end."""
+        """TEST/SMALL-RUN ONLY — eager driver-side concat of the documents
+        table (used by the equality tests).  Production consumers stream
+        :meth:`documents_dataset` instead; this method materializes the
+        whole corpus on the driver and must not be used at scale."""
         if self.documents_path is None or not os.path.exists(self.documents_path):
             return None
         parts = []
