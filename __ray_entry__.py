@@ -760,6 +760,22 @@ def q_ivf_ann(sf_dir: str):
     })
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct-count sketch (rows-only: the estimate is
+    deterministic but intentionally approximate, ±~0.8% at p=14)."""
+    from spidey_ray.stages.sketches import approx_distinct
+
+    rows = []
+    for table, col in (("events", "user_id"), ("orders", "o_custkey"),
+                       ("documents", "lang")):
+        est = approx_distinct(_read(sf_dir, table, [col]), col)
+        rows.append((f"{table}.{col}", est))
+    return pa.table({
+        "column": pa.array([r[0] for r in rows], type=pa.string()),
+        "approx_distinct": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
 def q_media_features(sf_dir: str):
     from spidey_ray.stages.multimodal import media_feature_pipeline
 
@@ -849,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "ivf_ann": q_ivf_ann,
+        "approx_distinct": q_approx_distinct,
         "media_features": q_media_features,
     }
 

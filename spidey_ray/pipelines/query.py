@@ -129,6 +129,16 @@ class QueryIndex:
     def _query_freq(self, query_words: list[str], stem: str) -> int:
         return sum(1 for q in query_words if porter.stem(q) == stem)
 
+    # -- doc-meta access hooks (overridden by PartitionedQueryIndex) ----
+    def _prefetch_docs(self, doc_ids: list[int]) -> None:
+        pass
+
+    def _doc_len(self, doc_id: int) -> int:
+        return self.doc_info[doc_id][2]
+
+    def _doc_title_url(self, doc_id: int) -> list:
+        return [self.doc_info[doc_id][0], self.doc_info[doc_id][1]]
+
     def _cosine_sim(self, query: str, info: dict[str, list], docs: list) -> None:
         """Query.py:220-248."""
         scores: dict[int, float] = {}
@@ -141,8 +151,9 @@ class QueryIndex:
             q_score = self._tf_idf(df, q_freq)
             for posting in plist:
                 scores[posting[0]] = scores.get(posting[0], 0.0) + q_score * posting[2]
+        self._prefetch_docs(list(scores))
         for doc_id in list(scores):
-            doc_len = max(math.log10(self.doc_info[doc_id][2]), 1)
+            doc_len = max(math.log10(self._doc_len(doc_id)), 1)
             scores[doc_id] = round(scores[doc_id] / doc_len, 3)
         for doc in docs:
             if doc[0] in scores:
@@ -196,7 +207,8 @@ class QueryIndex:
     def results_with_info(self, text: str) -> list[list]:
         """→ [[title, url], ...] top-10 (Query.py:281-282)."""
         ranked, _ms = self.query(text)
-        return [[self.doc_info[d][0], self.doc_info[d][1]] for d, _ in ranked]
+        self._prefetch_docs([d for d, _ in ranked])
+        return [self._doc_title_url(d) for d, _ in ranked]
 
 
 def load_query_index(postings_path: str, doc_meta_path: str,
@@ -208,3 +220,94 @@ def load_query_index(postings_path: str, doc_meta_path: str,
         sio.read_table_arrow(doc_meta_path),
         num_documents,
     )
+
+
+class PartitionedQueryIndex(QueryIndex):
+    """Corpus-scale serving: postings and doc_meta stay ON DISK.
+
+    The in-memory ``QueryIndex`` loads the whole postings table into a
+    serving actor — fine for one node's index, corpus-sized at 100×.  This
+    variant serves every query with two pruned parquet scans instead:
+
+    - postings: one read per query filtered on the query stems' hash
+      buckets + the stems themselves (``bucket`` is retained in the scored
+      output exactly for this row-group pruning; a stem's rows are
+      contiguous in one file so within-stem posting order — tfidf-desc
+      unigram / doc-order bigram, Indexer.py:166-168 — survives the scan),
+    - doc_meta: one read per query for only the scored doc ids.
+
+    Both feed small LRU-ish caches, so a serving replica's memory is
+    O(active stems), not O(corpus).  Replicas are stateless over the files
+    — scale-out is N replicas behind the REST endpoint (serving.py)."""
+
+    def __init__(self, postings_path: str, doc_meta_path: str,
+                 num_documents: int, stem_cache_size: int = 65536,
+                 doc_cache_size: int = 1 << 20):
+        import pyarrow.dataset as pads
+
+        self._postings = pads.dataset(postings_path, format="parquet")
+        self._meta = pads.dataset(doc_meta_path, format="parquet")
+        self.num_documents = num_documents
+        self.stopwords = QUERY_STOPWORDS
+        self._stem_cache: dict[tuple[str, bool], list] = {}
+        self._stem_cache_size = stem_cache_size
+        self._doc_cache: dict[int, tuple[str, str, int]] = {}
+        self._doc_cache_size = doc_cache_size
+
+    def _doc_info_retrieve(self, text: str, use_bigram: bool) -> dict[str, list]:
+        from ..stages.index_stages import _stem_bucket
+
+        if use_bigram:
+            words = self.tokenize_bigram_stop(text)
+            stem_fn = stem_bigram
+        else:
+            words = self.tokenize_stop(text)
+            stem_fn = porter.stem
+        stems = [stem_fn(w) for w in words]
+        missing = sorted({s for s in stems
+                          if (s, use_bigram) not in self._stem_cache})
+        if missing:
+            import pyarrow.dataset as pads
+
+            flt = (
+                pads.field("bucket").isin([_stem_bucket(s) for s in missing])
+                & pads.field("stem").isin(missing)
+                & (pads.field("is_bigram") == use_bigram)
+            )
+            t = self._postings.to_table(
+                filter=flt, columns=["stem", "doc_id", "positions", "tfidf"])
+            if len(self._stem_cache) + len(missing) > self._stem_cache_size:
+                self._stem_cache.clear()
+            loaded: dict[str, list] = {s: [] for s in missing}
+            for stem, doc_id, positions, tfidf in zip(
+                t["stem"].to_pylist(), t["doc_id"].to_pylist(),
+                t["positions"].to_pylist(), t["tfidf"].to_pylist(),
+            ):
+                loaded[stem].append([doc_id, positions, tfidf])
+            for s, plist in loaded.items():
+                self._stem_cache[(s, use_bigram)] = plist
+        return {s: self._stem_cache[(s, use_bigram)] for s in stems}
+
+    def _prefetch_docs(self, doc_ids: list[int]) -> None:
+        missing = sorted({int(d) for d in doc_ids if d not in self._doc_cache})
+        if not missing:
+            return
+        import pyarrow.dataset as pads
+
+        t = self._meta.to_table(
+            filter=pads.field("doc_id").isin(missing),
+            columns=["doc_id", "title", "url", "n_tokens"])
+        if len(self._doc_cache) + len(missing) > self._doc_cache_size:
+            self._doc_cache.clear()
+        for d, title, url, n in zip(
+            t["doc_id"].to_pylist(), t["title"].to_pylist(),
+            t["url"].to_pylist(), t["n_tokens"].to_pylist(),
+        ):
+            self._doc_cache[int(d)] = (title, url, int(n))
+
+    def _doc_len(self, doc_id: int) -> int:
+        return self._doc_cache[int(doc_id)][2]
+
+    def _doc_title_url(self, doc_id: int) -> list:
+        info = self._doc_cache[int(doc_id)]
+        return [info[0], info[1]]

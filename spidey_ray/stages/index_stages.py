@@ -216,6 +216,9 @@ SCORED_SCHEMA = pa.schema(
         ("positions", pa.list_(pa.int32())),
         ("tfidf", pa.float64()),
         ("is_bigram", pa.bool_()),
+        # stem-hash bucket retained in the OUTPUT too: partitioned serving
+        # (query.PartitionedQueryIndex) prunes parquet row groups on it
+        ("bucket", pa.int32()),
     ]
 )
 
@@ -245,10 +248,12 @@ def score_stem_group(group: pa.Table, num_documents: int) -> pa.Table:
         if not is_bigram:
             # unigram postings sorted by tfidf desc, stable (Indexer.py:166-168)
             scored.sort(key=lambda r: -r[2])
+        b = _stem_bucket(stem)
         for d, pos, tf in scored:
             out["stem"].append(stem)
             out["doc_id"].append(d)
             out["positions"].append(pos)
             out["tfidf"].append(tf)
             out["is_bigram"].append(is_bigram)
+            out["bucket"].append(b)
     return pa.Table.from_pydict(out, schema=SCORED_SCHEMA)

@@ -147,6 +147,47 @@ def hash_join(
         per_bucket, batch_format="pyarrow")
 
 
+def join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str | list[str],
+    how: str = "inner",
+    broadcast_limit: int = 1_000_000,
+    num_buckets: int = 64,
+    suffix: str = "_right",
+) -> "ray.data.Dataset":
+    """Strategy-selecting join front door (the broadcast-threshold pattern):
+    when the RIGHT side is small (≤ ``broadcast_limit`` rows) it is
+    collected once, ``ray.put``, and each left batch merges against it with
+    no shuffle; otherwise the hash-bucket co-partition join runs.  Same
+    semantics as :func:`hash_join` for every ``how``."""
+    n_right = right.count()
+    if n_right > broadcast_limit:
+        return hash_join(left, right, on, how=how, num_buckets=num_buckets,
+                         suffix=suffix)
+    on_l = [on] if isinstance(on, str) else list(on)
+    left_cols = list(left.schema().names)
+    rdf = right.to_pandas()
+    rename = {c: (c + suffix if c in left_cols else c)
+              for c in rdf.columns if c not in on_l}
+    rdf = rdf.rename(columns=rename)
+    r_ref = ray.put(rdf)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(r_ref)
+        if how == "semi":
+            return df.merge(r[on_l].drop_duplicates(), on=on_l, how="inner")
+        if how == "anti":
+            m = df.merge(r[on_l].drop_duplicates(), on=on_l, how="left",
+                         indicator=True)
+            return m.loc[m["_merge"] == "left_only", list(df.columns)]
+        return df.merge(r, on=on_l, how=how)
+
+    import ray as _ray  # noqa: F401  (ray.get in workers)
+
+    return left.map_batches(merge, batch_format="pandas")
+
+
 def semi_join(left, right, on, num_buckets: int = 64):
     """Left rows whose key appears in right (both sides stream)."""
     return hash_join(left, right, on, how="semi", num_buckets=num_buckets)

@@ -144,3 +144,25 @@ class TestJoinPathDocNumbers:
 
         assert canon_meta(meta_j) == canon_meta(meta_b)
         assert canon_post(post_j) == canon_post(post_b)
+
+
+class TestPartitionedServing:
+    def test_partitioned_index_equals_in_memory(self, ray_session, ray_index):
+        """PartitionedQueryIndex (bucket-pruned on-disk scans, O(active-stems)
+        memory) must rank identically to the in-memory QueryIndex."""
+        from spidey_ray import io as sio
+        from spidey_ray.pipelines.query import PartitionedQueryIndex, QueryIndex
+
+        res, meta, post = ray_index
+        qi = QueryIndex(post, meta, res.num_documents)
+        pqi = PartitionedQueryIndex(res.postings_path, res.doc_meta_path,
+                                    res.num_documents)
+        for q in ("home", "page", "listing", "home page", "the and of",
+                  "page listing home"):
+            a, _ = qi.query(q)
+            b, _ = pqi.query(q)
+            assert a == b, q
+            assert qi.results_with_info(q) == pqi.results_with_info(q), q
+        # cache warm: second pass hits no disk misses and stays identical
+        for q in ("home page", "page"):
+            assert qi.query(q)[0] == pqi.query(q)[0]

@@ -92,3 +92,53 @@ class TestHashJoin:
         out = hash_join(l_ds, r_ds, on="k").to_pandas()
         assert out["lv"].dtype == np.int64
         assert out["rv"].dtype == np.int64
+
+
+class TestJoinFrontDoor:
+    def test_broadcast_and_shuffle_strategies_agree(self, ray_session):
+        import ray
+        from spidey_ray.stages.joins import join
+
+        l_df, r_df, l_ds, r_ds = _mk(ray)
+        for how in ("inner", "semi", "anti"):
+            bc = join(l_ds, r_ds, on="k", how=how,
+                      broadcast_limit=10**6).to_pandas()
+            sh = join(l_ds, r_ds, on="k", how=how,
+                      broadcast_limit=0).to_pandas()
+            cols = [c for c in bc.columns]
+            key = lambda df: sorted(map(tuple, df[cols].astype(str).values))  # noqa: E731
+            assert key(bc) == key(sh), how
+
+
+class TestHyperLogLog:
+    def test_accuracy_within_two_percent(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+        from spidey_ray.stages.sketches import approx_distinct
+
+        rng = np.random.default_rng(11)
+        vals = rng.integers(0, 40_000, size=200_000)   # ~39.7k distinct
+        ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(9)
+        exact = len(set(vals.tolist()))
+        est = approx_distinct(ds, "v")
+        assert abs(est - exact) / exact < 0.02
+
+    def test_small_range_linear_counting(self, ray_session):
+        import pandas as pd
+        import ray.data
+        from spidey_ray.stages.sketches import approx_distinct
+
+        ds = ray.data.from_pandas(pd.DataFrame({"v": list(range(50)) * 10}))
+        assert approx_distinct(ds, "v") == 50
+
+    def test_strings_and_merge_associativity(self, ray_session):
+        import pandas as pd
+        import ray.data
+        from spidey_ray.stages.sketches import approx_distinct
+
+        df = pd.DataFrame({"v": [f"user-{i%997}" for i in range(30_000)]})
+        a = approx_distinct(ray.data.from_pandas(df).repartition(2), "v")
+        b = approx_distinct(ray.data.from_pandas(df).repartition(17), "v")
+        assert a == b            # partition layout must not change the sketch
+        assert abs(a - 997) / 997 < 0.03
