@@ -218,6 +218,28 @@ def q_shuffle_join(sf_dir: str):
     return out.sort_values(["o_orderkey"]).reset_index(drop=True)
 
 
+def q_shuffle_left_join(sf_dir: str):
+    """Left-outer streaming join: every customer + their 400k+ order count
+    (0 when none) — unmatched rows surface as nulls from the hash join and
+    are coalesced to integers so the value compare is exact."""
+    from spidey_ray.stages.joins import hash_join
+
+    counts = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)),
+                     batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+        .map_batches(lambda t: t.rename_columns(["c_custkey", "big_orders"]),
+                     batch_format="pyarrow")
+    )
+    out = hash_join(_read(sf_dir, "customer", ["c_custkey", "c_name"]),
+                    counts, on="c_custkey", how="left").to_pandas()
+    out["big_orders"] = out["big_orders"].fillna(0).astype("int64")
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def q_distinct(sf_dir: str):
     return (
         _read(sf_dir, "documents", ["lang", "source"])
@@ -830,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "shuffle_join": q_shuffle_join,
+        "shuffle_left_join": q_shuffle_left_join,
         "distinct": q_distinct,
         "union_groupby": q_union_groupby,
         "grouped_topk": q_grouped_topk,
@@ -922,6 +945,16 @@ def oracle_sql() -> dict[str, str]:
             from orders o join customer c on o.o_custkey = c.c_custkey
             where o.o_totalprice > 250000
             order by o.o_orderkey
+        """,
+        "shuffle_left_join": """
+            select c.c_custkey, c.c_name,
+                   coalesce(o.big_orders, 0) as big_orders
+            from customer c
+            left join (
+                select o_custkey as c_custkey, count(*) as big_orders
+                from orders where o_totalprice > 400000 group by o_custkey
+            ) o using (c_custkey)
+            order by c.c_custkey
         """,
         "distinct": "select distinct lang, source from documents",
         "union_groupby": """

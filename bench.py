@@ -80,9 +80,10 @@ def run_queries(sf_dir: str) -> dict:
     import __ray_entry__ as entry
 
     names = [
-        "groupby_agg", "filter_project", "hash_join", "token_counts",
-        "longest_docs", "tfidf", "exact_dedup", "events_hourly",
-        "embedding_topk", "minhash_dedup", "simhash_pairs", "lang_id",
+        "groupby_agg", "filter_project", "hash_join", "shuffle_join",
+        "token_counts", "longest_docs", "tfidf", "exact_dedup",
+        "events_hourly", "embedding_topk", "minhash_dedup", "simhash_pairs",
+        "lang_id", "approx_distinct", "sessionize", "asof_join",
     ]
     qs = entry.queries()
     out = {}
