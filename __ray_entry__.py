@@ -820,17 +820,12 @@ def entry() -> Any:
     """Flagship training-data pipeline on sf0.001: exact dedup + language-ID
     + quality scoring over the documents table (streaming, Arrow batches)."""
     sf_dir = "/root/testdata/sf0.001"
-    from spidey_ray.stages.dedup import content_hash_batch
+    from spidey_ray.stages.dedup import exact_dedup
     from spidey_ray.stages.textstats import language_id_batch, quality_score_batch
 
     _quiet()
     docs = _read(sf_dir, "documents")
-    deduped = (
-        docs.map_batches(content_hash_batch, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(lambda g: g.sort_values("doc_id").head(1),
-                    batch_format="pandas")
-    )
+    deduped = exact_dedup(docs)   # fat-bucket shuffle, min doc_id per hash
     lang = deduped.map_batches(language_id_batch, batch_format="pyarrow")
 
     def with_quality(t: pa.Table) -> pa.Table:

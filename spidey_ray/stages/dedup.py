@@ -35,14 +35,35 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
-                id_col: str = "doc_id") -> "ray.data.Dataset":
-    """Hash-partition by content hash, keep min(id) per group
-    (the distributed form of Filter.py:49-51's first-wins set)."""
+                id_col: str = "doc_id", num_buckets: int = 256) -> "ray.data.Dataset":
+    """Hash-partition by content hash, keep min(id) per hash (the
+    distributed form of Filter.py:49-51's first-wins set).
+
+    Scale shape: grouping on the raw content_hash makes one group per
+    DISTINCT document — at corpus scale that is millions of near-singleton
+    groups, the slow path of a sort-based shuffle.  Instead the hash is
+    folded into ``num_buckets`` fat buckets (one shuffle key), and min-id
+    per hash is a vectorized idxmin inside each bucket."""
+
+    def bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = t["content_hash"]
+        # first 4 hex chars → int, mod buckets (content_hash is uniform)
+        b = [int(x[:4], 16) % num_buckets for x in h.to_pylist()]
+        del pc
+        return t.append_column("_bucket", pa.array(b, type=pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.loc[g.groupby("content_hash")[id_col].idxmin()]
+        return keep.drop(columns=["_bucket"])
+
     return (
         ds.map_batches(content_hash_batch, fn_kwargs={"text_col": text_col},
                        batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(lambda g: g.sort_values(id_col).head(1), batch_format="pandas")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 

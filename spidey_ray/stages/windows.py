@@ -3,10 +3,13 @@ session windows (SURVEY.md §2 "custom operators" note; ray_guide.md
 "Streaming-shaped workloads").
 
 Both follow the documented partitioning assumption: all rows for one key are
-co-located by the ``groupby(key)`` shuffle, and ordering within the key is
-established inside the group (sort by timestamp) — the engine never relies
-on global order.  At cluster scale these are the standard bucket-join /
-keyed-window shapes; skewed keys can be salted upstream.
+co-located by ONE hash-bucket shuffle, and ordering within the key is
+established inside the bucket (sort by key, timestamp) — the engine never
+relies on global order.  The shuffle key is a FAT bucket (``hash(key) %
+num_buckets``), not the raw key: grouping on the raw key makes one group per
+user/entity — millions of near-singleton groups at corpus scale, the slow
+path of a sort-based shuffle (same reasoning as the stem-hash buckets in
+``pipelines/filter_index.py``).  Skewed keys can be salted upstream.
 """
 
 from __future__ import annotations
@@ -16,6 +19,14 @@ import pandas as pd
 
 import ray.data
 
+_HASH_KEY = "spidey-wind-0000"  # fixed: deterministic across workers
+
+
+def _bucket_col(s: pd.Series, num_buckets: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(s, index=False, hash_key=_HASH_KEY,
+                                   categorize=False)
+    return (h % num_buckets).astype(np.int32).to_numpy()
+
 
 def asof_join(
     left: "ray.data.Dataset",
@@ -24,30 +35,39 @@ def asof_join(
     ts_col: str,
     right_ts_col: str | None = None,
     suffix: str = "_right",
+    num_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """For each left row, the latest right row of the same key with
     right.ts <= left.ts (inner: left rows with no match are dropped).
 
-    Implementation: tag both sides, co-partition with one ``groupby(key)``
-    shuffle, and walk each group with numpy ``searchsorted`` over the sorted
-    right timestamps — the per-bucket ``merge_asof`` pattern."""
+    Implementation: tag both sides, co-partition with one hash-bucket
+    ``groupby`` shuffle, and walk each key inside the bucket with numpy
+    ``searchsorted`` over the sorted right timestamps — the per-key
+    ``merge_asof`` pattern."""
     rts = right_ts_col or ts_col
 
-    l_tag = left.map_batches(
-        lambda df: df.assign(_side=0), batch_format="pandas")
-    r_tag = right.map_batches(
-        lambda df: df.assign(_side=1).rename(
-            columns={rts: ts_col} if rts != ts_col else {}),
-        batch_format="pandas")
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_side=np.int8(0))
+        df["_bucket"] = _bucket_col(df[key], num_buckets)
+        return df
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        if rts != ts_col:
+            df = df.rename(columns={rts: ts_col})
+        df = df.assign(_side=np.int8(1))
+        df["_bucket"] = _bucket_col(df[key], num_buckets)
+        return df
+
+    l_tag = left.map_batches(tag_left, batch_format="pandas")
+    r_tag = right.map_batches(tag_right, batch_format="pandas")
 
     left_cols = [c for c in left.schema().names]
     right_cols = [c for c in right.schema().names if c not in (key, rts)]
+    out_cols = left_cols + [c + suffix for c in right_cols]
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == 0].sort_values(ts_col, kind="mergesort")
-        rg = g[g["_side"] == 1].sort_values(ts_col, kind="mergesort")
+    def per_key(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
         if lg.empty or rg.empty:
-            return pd.DataFrame(columns=left_cols + [c + suffix for c in right_cols])
+            return pd.DataFrame(columns=out_cols)
         r_ts = rg[ts_col].to_numpy()
         idx = np.searchsorted(r_ts, lg[ts_col].to_numpy(), side="right") - 1
         ok = idx >= 0
@@ -58,8 +78,18 @@ def asof_join(
             out[c + suffix] = matched[c].to_numpy()
         return out
 
-    return l_tag.union(r_tag).groupby(key).map_groups(
-        per_key, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        outs = []
+        for _k, sub in g.groupby(key, sort=False):
+            outs.append(per_key(sub[sub["_side"] == 0],
+                                sub[sub["_side"] == 1]))
+        if not outs:
+            return pd.DataFrame(columns=out_cols)
+        return pd.concat(outs, ignore_index=True)
+
+    return l_tag.union(r_tag).groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas")
 
 
 def sessionize(
@@ -67,27 +97,41 @@ def sessionize(
     key: str,
     ts_col: str,
     gap_seconds: float = 1800.0,
+    num_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """Session windows per key: a new session starts when the gap to the
     previous event exceeds ``gap_seconds``.  Emits one row per session:
     (key, session_id (1-based per key in time order), session_start_epoch,
-    n_events)."""
+    n_events).
+
+    Fully vectorized inside each fat bucket: one sort by (key, ts), one
+    break vector (gap OR key change), one cumsum, one grouped aggregate."""
 
     gap_us = int(gap_seconds * 1_000_000)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        # exact integer microseconds: no float-epoch rounding ambiguity
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = _bucket_col(df[key], num_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort")
         us = (
             (g[ts_col] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
         ).astype("int64").to_numpy()
-        brk = np.ones(len(us), dtype=np.int64)
-        brk[1:] = (us[1:] - us[:-1] > gap_us).astype(np.int64)
-        sid = np.cumsum(brk)
-        out = pd.DataFrame({key: g[key].to_numpy(), "session_id": sid, "us": us})
-        agg = out.groupby([key, "session_id"], as_index=False).agg(
+        k = g[key].to_numpy()
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            brk[1:] = ((us[1:] - us[:-1] > gap_us) | (k[1:] != k[:-1])
+                       ).astype(np.int64)
+        gid = np.cumsum(brk)
+        tmp = pd.DataFrame({key: k, "_gid": gid, "us": us})
+        agg = tmp.groupby("_gid", as_index=False).agg(
+            **{key: (key, "first")},
             session_start_us=("us", "min"), n_events=("us", "size"))
+        agg["session_id"] = (agg.groupby(key).cumcount() + 1).astype("int64")
         agg["n_events"] = agg["n_events"].astype("int64")
-        return agg
+        return agg[[key, "session_id", "session_start_us", "n_events"]]
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return ds.map_batches(tag, batch_format="pandas").groupby(
+        "_bucket").map_groups(per_bucket, batch_format="pandas")
