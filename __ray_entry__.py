@@ -271,15 +271,29 @@ def q_union_groupby(sf_dir: str):
 
 
 def q_grouped_topk(sf_dir: str):
-    """Per-customer top-2 orders by price (groupby().map_groups top-k)."""
+    """Per-customer top-2 orders by price.  Shuffle key is a FAT hash
+    bucket, not the raw custkey (one group per customer is millions of
+    near-singleton groups at scale); top-k per key is vectorized inside."""
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df["o_custkey"], index=False,
+                                       hash_key="spidey-topk-0000",
+                                       categorize=False)
+        df["_bucket"] = (h % 64).astype("int32")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort")
+        return g.groupby("o_custkey", sort=False).head(2) \
+            .drop(columns=["_bucket"])
+
     return (
         _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-        .groupby("o_custkey")
-        .map_groups(
-            lambda g: g.sort_values(["o_totalprice", "o_orderkey"],
-                                    ascending=[False, True]).head(2),
-            batch_format="pandas",
-        )
+        .map_batches(bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 
@@ -361,19 +375,25 @@ def q_tfidf(sf_dir: str):
             "tf": pa.array(tfs, type=pa.int64()),
         })
 
-    import math
+    def bucket(t: pa.Table) -> pa.Table:
+        import zlib
 
-    def score_group(g: pd.DataFrame) -> pd.DataFrame:
-        df = len(g)
-        idf = math.log10(n_docs / df)
-        g = g.assign(
-            tfidf=[round((1 + math.log10(tf)) * idf, 4) for tf in g["tf"]])
-        return g
+        b = [zlib.crc32(x.encode()) % 256 for x in t["token"].to_pylist()]
+        return t.append_column("_bucket", pa.array(b, type=pa.int32()))
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # token-hash fat buckets (one group per token would be vocab-many
+        # near-singleton groups at scale); df + tf-idf fully vectorized
+        df = g.groupby("token")["tf"].transform("size").to_numpy()
+        idf = np.log10(n_docs / df)
+        tfidf = np.round((1 + np.log10(g["tf"].to_numpy())) * idf, 4)
+        return g.assign(tfidf=tfidf).drop(columns=["_bucket"])
 
     return (
         docs.map_batches(explode, batch_format="pyarrow")
-        .groupby("token")
-        .map_groups(score_group, batch_format="pandas")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(score_bucket, batch_format="pandas")
     )
 
 
