@@ -462,6 +462,43 @@ def q_sessionize(sf_dir: str):
     return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
+def q_events_tumbling(sf_dir: str):
+    """2-hour tumbling windows per event_type (combiner shape: per-block
+    window partials, then a small groupby)."""
+    from spidey_ray.stages.windows import tumbling_window_agg
+
+    out = tumbling_window_agg(
+        _read(sf_dir, "events", ["event_type", "ts", "value"]),
+        "ts", "value", width_seconds=7200, group_cols=["event_type"],
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["window_start_us"] = out["window_start_us"].astype("int64")
+    out["sum_v"] = out["sum_v"].round(2)
+    # mean_v is computed by the operator but excluded from the oracle
+    # compare: a 4-dp half-tie rounds differently in numpy (half-to-even)
+    # vs DuckDB (half-away-from-zero)
+    out = out[["event_type", "window_start_us", "n", "sum_v",
+               "min_v", "max_v"]]
+    return out.sort_values(["event_type", "window_start_us"]).reset_index(drop=True)
+
+
+def q_events_hopping(sf_dir: str):
+    """1-hour windows hopping every 15 minutes (each event fans out into 4
+    windows block-side, then the tumbling combiner shape)."""
+    from spidey_ray.stages.windows import hopping_window_agg
+
+    out = hopping_window_agg(
+        _read(sf_dir, "events", ["event_type", "ts", "value"]),
+        "ts", "value", width_seconds=3600, hop_seconds=900,
+        group_cols=["event_type"],
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["window_start_us"] = out["window_start_us"].astype("int64")
+    out["sum_v"] = out["sum_v"].round(2)
+    out = out[["event_type", "window_start_us", "n", "sum_v"]]
+    return out.sort_values(["event_type", "window_start_us"]).reset_index(drop=True)
+
+
 def q_asof_join(sf_dir: str):
     """For each purchase, the user's latest click at-or-before it."""
     from spidey_ray.stages.windows import asof_join
@@ -881,6 +918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json": q_events_json,
         "events_filter": q_events_filter,
         "sessionize": q_sessionize,
+        "events_tumbling": q_events_tumbling,
+        "events_hopping": q_events_hopping,
         "asof_join": q_asof_join,
         "quality_stop_ratio": q_quality_stop_ratio,
         # URL ops
@@ -1048,6 +1087,26 @@ def oracle_sql() -> dict[str, str]:
             select user_id, session_id, min(us) as session_start_us,
                    count(*) as n_events
             from s group by user_id, session_id
+        """,
+        "events_tumbling": """
+            select event_type,
+                   (cast(epoch_us(ts) as bigint) // 7200000000) * 7200000000
+                       as window_start_us,
+                   count(*) as n,
+                   round(sum(value), 2) as sum_v,
+                   min(value) as min_v, max(value) as max_v
+            from events group by 1, 2 order by 1, 2
+        """,
+        "events_hopping": """
+            with e as (
+                select event_type, cast(epoch_us(ts) as bigint) as us, value
+                from events
+            )
+            select event_type,
+                   (us // 900000000 - off) * 900000000 as window_start_us,
+                   count(*) as n, round(sum(value), 2) as sum_v
+            from e, unnest([0, 1, 2, 3]) as t(off)
+            group by 1, 2 order by 1, 2
         """,
         "asof_join": """
             select p.event_id as purchase_id, p.user_id,

@@ -92,6 +92,111 @@ def asof_join(
         per_bucket, batch_format="pandas")
 
 
+def _bucketed_merge(partials: "ray.data.Dataset", keys: list[str],
+                    final_fn, num_buckets: int = 64) -> "ray.data.Dataset":
+    """Final merge of per-block partials over a FAT bucket shuffle (one
+    group per window key would be window-count-many tiny groups)."""
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = (df[keys].astype(str).agg("\x1f".join, axis=1)
+               if len(keys) > 1 else df[keys[0]])
+        df["_bucket"] = _bucket_col(key, num_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return final_fn(g.drop(columns=["_bucket"]))
+
+    return partials.map_batches(bucket, batch_format="pandas").groupby(
+        "_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def tumbling_window_agg(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    value_col: str,
+    width_seconds: int,
+    group_cols: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Fixed (tumbling) windows of ``width_seconds``: one output row per
+    (group, window_start) with n / sum / min / max / mean over the value.
+
+    Combiner shape: each block pre-aggregates its rows into per-window
+    partials (n, sum, min, max) — only window-count-bound partial rows enter
+    the final ``groupby`` shuffle, never the events."""
+    group_cols = group_cols or []
+    width_us = width_seconds * 1_000_000
+    keys = group_cols + ["window_start_us"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        us = ((df[ts_col] - pd.Timestamp(0)) //
+              pd.Timedelta(microseconds=1)).astype("int64")
+        df["window_start_us"] = (us // width_us) * width_us
+        g = df.groupby(keys, as_index=False).agg(
+            n=(value_col, "size"), sum_v=(value_col, "sum"),
+            min_v=(value_col, "min"), max_v=(value_col, "max"))
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(keys, as_index=False).agg(
+            n=("n", "sum"), sum_v=("sum_v", "sum"),
+            min_v=("min_v", "min"), max_v=("max_v", "max"))
+        out["n"] = out["n"].astype("int64")
+        out["mean_v"] = out["sum_v"] / out["n"]
+        return out
+
+    return _bucketed_merge(
+        ds.map_batches(partial, batch_format="pandas"), keys, final)
+
+
+def hopping_window_agg(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    value_col: str,
+    width_seconds: int,
+    hop_seconds: int,
+    group_cols: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Hopping (sliding) windows: width W, advancing by hop H (W must be a
+    multiple of H).  Each event lands in W/H windows — the per-block fan-out
+    replicates only the (window_start, value) pair, then the tumbling
+    combiner shape applies."""
+    assert width_seconds % hop_seconds == 0, "width must be a multiple of hop"
+    k = width_seconds // hop_seconds
+    hop_us = hop_seconds * 1_000_000
+    group_cols = group_cols or []
+    keys = group_cols + ["window_start_us"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = ((df[ts_col] - pd.Timedelta(0) - pd.Timestamp(0)) //
+              pd.Timedelta(microseconds=1)).astype("int64").to_numpy()
+        base = (us // hop_us) * hop_us
+        frames = []
+        for i in range(k):
+            f = pd.DataFrame({
+                "window_start_us": base - i * hop_us,
+                value_col: df[value_col].to_numpy(),
+            })
+            for c in group_cols:
+                f[c] = df[c].to_numpy()
+            frames.append(f)
+        allf = pd.concat(frames, ignore_index=True)
+        return allf.groupby(keys, as_index=False).agg(
+            n=(value_col, "size"), sum_v=(value_col, "sum"),
+            min_v=(value_col, "min"), max_v=(value_col, "max"))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(keys, as_index=False).agg(
+            n=("n", "sum"), sum_v=("sum_v", "sum"),
+            min_v=("min_v", "min"), max_v=("max_v", "max"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return _bucketed_merge(
+        ds.map_batches(partial, batch_format="pandas"), keys, final)
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     key: str,

@@ -71,3 +71,67 @@ class TestSessionize:
         out = sessionize(ray.data.from_items(rows), "u", "ts",
                          gap_seconds=1800).to_pandas()
         assert list(out["n_events"]) == [2]
+
+
+class TestTumblingWindows:
+    def test_counts_and_bounds(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.windows import tumbling_window_agg
+
+        t0 = pd.Timestamp("2024-01-01")
+        rows = [
+            {"g": "a", "ts": t0 + pd.Timedelta(minutes=m), "v": float(m)}
+            for m in (0, 10, 59, 60, 61, 125)
+        ]
+        out = tumbling_window_agg(
+            ray.data.from_items(rows), "ts", "v",
+            width_seconds=3600, group_cols=["g"],
+        ).to_pandas().sort_values("window_start_us").reset_index(drop=True)
+        assert list(out["n"]) == [3, 2, 1]
+        assert out["min_v"].iloc[0] == 0.0 and out["max_v"].iloc[0] == 59.0
+        assert out["sum_v"].iloc[1] == 60.0 + 61.0
+        assert out["mean_v"].iloc[2] == 125.0
+        # window starts are aligned hour boundaries
+        hour_us = 3600 * 1_000_000
+        assert all(w % hour_us == 0 for w in out["window_start_us"])
+
+    def test_partials_merge_across_blocks(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from spidey_ray.stages.windows import tumbling_window_agg
+
+        t0 = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame({
+            "ts": [t0 + pd.Timedelta(seconds=int(s))
+                   for s in np.arange(0, 10000, 7)],
+            "v": np.arange(0, 10000, 7, dtype=float),
+        })
+        a = tumbling_window_agg(ray.data.from_pandas(df).repartition(1),
+                                "ts", "v", 1800).to_pandas()
+        b = tumbling_window_agg(ray.data.from_pandas(df).repartition(13),
+                                "ts", "v", 1800).to_pandas()
+        key = ["window_start_us"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestHoppingWindows:
+    def test_each_event_in_width_over_hop_windows(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.windows import hopping_window_agg
+
+        t0 = pd.Timestamp("2024-01-01 00:32:00")
+        out = hopping_window_agg(
+            ray.data.from_items([{"ts": t0, "v": 5.0}]),
+            "ts", "v", width_seconds=3600, hop_seconds=900,
+        ).to_pandas().sort_values("window_start_us").reset_index(drop=True)
+        assert len(out) == 4                         # W/H = 4 windows
+        assert list(out["n"]) == [1, 1, 1, 1]
+        # the event's timestamp lies inside [start, start+W) for each
+        us = int((t0 - pd.Timestamp(0)) / pd.Timedelta(microseconds=1))
+        for w in out["window_start_us"]:
+            assert w <= us < w + 3600 * 1_000_000
