@@ -839,6 +839,56 @@ def q_ivf_ann(sf_dir: str):
     })
 
 
+def q_media_phash_pairs(sf_dir: str):
+    """Near-duplicate media via banded perceptual hash (rows-only): every
+    20th document's image gets a perturbed copy planted; the operator must
+    find exactly those pairs."""
+    from spidey_ray.stages.multimodal import (
+        media_dup_pairs, perturb_payload, synth_payload)
+
+    def plant(t: pa.Table) -> pa.Table:
+        refs, payloads = [], []
+        for d in t["doc_id"].to_pylist():
+            d = int(d)
+            ref = f"img://doc/{d}"
+            p = synth_payload(ref)
+            refs.append(ref)
+            payloads.append(p)
+            if d % 20 == 0:
+                refs.append(ref + "~dup")
+                payloads.append(perturb_payload(p, n_pixels=2, seed=d))
+        return pa.table({
+            "media_ref": pa.array(refs, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    media = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        plant, batch_format="pyarrow")
+    out = media_dup_pairs(media, max_hamming=6).to_pandas()
+    return out.sort_values(["ref_a", "ref_b"]).reset_index(drop=True)
+
+
+def q_audio_features(sf_dir: str):
+    """Audio feature extraction (rows-only): deterministic PCM payloads,
+    real numpy DSP (rms / zcr / spectral peak)."""
+    from spidey_ray.stages.multimodal import (
+        audio_features_batch, synth_audio_payload)
+
+    def plant(t: pa.Table) -> pa.Table:
+        refs = [f"aud://doc/{d}" for d in t["doc_id"].to_pylist()]
+        return pa.table({
+            "media_ref": pa.array(refs, type=pa.string()),
+            "payload": pa.array([synth_audio_payload(r) for r in refs],
+                                type=pa.binary()),
+        })
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(audio_features_batch, batch_format="pyarrow")
+    )
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct-count sketch (rows-only: the estimate is
     deterministic but intentionally approximate, ±~0.8% at p=14)."""
@@ -944,6 +994,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": q_ivf_ann,
         "approx_distinct": q_approx_distinct,
         "media_features": q_media_features,
+        "media_phash_pairs": q_media_phash_pairs,
+        "audio_features": q_audio_features,
     }
 
 

@@ -118,6 +118,178 @@ def resize_batch(batch: pa.Table, target: int = 8) -> pa.Table:
     })
 
 
+# ---------------------------------------------------------------------------
+# perceptual hash + media near-dup
+# ---------------------------------------------------------------------------
+
+
+def perturb_payload(payload: bytes, n_pixels: int = 3, seed: int = 0) -> bytes:
+    """Flip a few pixels — a deterministic 'near-duplicate' image for
+    tests/queries (real-world analog: recompression artifacts)."""
+    w, h, px = _decode_fake(payload)
+    px = px.copy()
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, px.size, size=n_pixels)
+    px.flat[idx] = (px.flat[idx].astype(np.int32) + 64) % 256
+    return _MAGIC + struct.pack("<HH", w, h) + px.tobytes()
+
+
+def dhash64(px: np.ndarray) -> int:
+    """Difference hash (dHash): nearest-neighbor resample to 9×8, one bit
+    per horizontal gradient sign — the standard perceptual image hash."""
+    h, w = px.shape
+    yi = (np.arange(8) * h // 8)
+    xi = (np.arange(9) * w // 9)
+    small = px[np.ix_(yi, xi)].astype(np.int16)
+    bits = (small[:, 1:] > small[:, :-1]).astype(np.uint8).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+def phash_batch(batch: pa.Table) -> pa.Table:
+    hashes = []
+    for payload in batch["payload"].to_pylist():
+        _w, _h, px = _decode_fake(payload)
+        hashes.append(dhash64(px))
+    return pa.table({
+        "media_ref": batch["media_ref"],
+        "phash": pa.array(hashes, type=pa.uint64()),
+    })
+
+
+def media_dup_pairs(ds, max_hamming: int = 6):
+    """Near-duplicate media via banded perceptual hash: 4×16-bit chunks
+    (pigeonhole: hamming ≤ 6 over 64 bits shares ≥ 1 exact chunk when the
+    flips spread; multi-chunk banding keeps recall high), exact hamming
+    verify inside buckets — the simhash-banding shape over pHash values."""
+    import pandas as pd
+
+    from ..functions.simhash import hamming_popcount
+
+    sigs = ds.map_batches(phash_batch, batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ref, band, chunk, ph = [], [], [], []
+        for r, h in zip(t["media_ref"].to_pylist(), t["phash"].to_pylist()):
+            for bandi in range(4):
+                ref.append(r)
+                band.append(bandi)
+                chunk.append((h >> (16 * bandi)) & 0xFFFF)
+                ph.append(h)
+        return pa.table({
+            "media_ref": pa.array(ref, type=pa.string()),
+            "band": pa.array(band, type=pa.int32()),
+            "chunk": pa.array(chunk, type=pa.int32()),
+            "phash": pa.array(ph, type=pa.uint64()),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("media_ref").drop_duplicates("media_ref")
+        refs = g["media_ref"].tolist()
+        hs = g["phash"].to_numpy().astype(np.uint64)
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(refs)):
+            d = hamming_popcount(hs[i] ^ hs[i + 1:])
+            for j in np.nonzero(d <= max_hamming)[0]:
+                a_out.append(refs[i])
+                b_out.append(refs[i + 1 + j])
+                d_out.append(int(d[j]))
+        return pd.DataFrame({"ref_a": a_out, "ref_b": b_out, "hamming": d_out})
+
+    return (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "chunk"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["ref_a", "ref_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# video: frame sampling
+# ---------------------------------------------------------------------------
+
+_VMAGIC = b"FAKEVID1"
+
+
+def synth_video_payload(media_ref: str, n_frames: int = 12) -> bytes:
+    """Deterministic fake video: magic + n + n equal-size FAKEIMG frames."""
+    frames = [synth_payload(f"{media_ref}#f{i}") for i in range(n_frames)]
+    return _VMAGIC + struct.pack("<H", n_frames) + b"".join(
+        struct.pack("<I", len(f)) + f for f in frames)
+
+
+def frame_sample_batch(batch: pa.Table, every_k: int = 4) -> pa.Table:
+    """Video payload → one row per SAMPLED frame (every k-th, always incl.
+    frame 0) — the size-changing fan-out stage; output frames are plain
+    FAKEIMG payloads feeding the image pipeline above."""
+    refs_out, idx_out, frames_out = [], [], []
+    for ref, payload in zip(batch["media_ref"].to_pylist(),
+                            batch["payload"].to_pylist()):
+        if not payload.startswith(_VMAGIC):
+            raise ValueError("not a FAKEVID payload")
+        (n,) = struct.unpack("<H", payload[8:10])
+        off = 10
+        for i in range(n):
+            (sz,) = struct.unpack("<I", payload[off:off + 4])
+            off += 4
+            if i % every_k == 0:
+                refs_out.append(ref)
+                idx_out.append(i)
+                frames_out.append(payload[off:off + sz])
+            off += sz
+    return pa.table({
+        "media_ref": pa.array(refs_out, type=pa.string()),
+        "frame_idx": pa.array(idx_out, type=pa.int32()),
+        "payload": pa.array(frames_out, type=pa.binary()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# audio: deterministic PCM + real DSP features
+# ---------------------------------------------------------------------------
+
+_AMAGIC = b"FAKEAUD1"
+_SR = 8000
+
+
+def synth_audio_payload(media_ref: str, seconds: float = 0.5) -> bytes:
+    """Deterministic fake audio: magic + sample-rate + int16 PCM (sum of two
+    seeded sine tones + noise).  The FEATURES below are real DSP."""
+    h = hashlib.sha1(media_ref.encode()).digest()
+    f1, f2 = 100 + h[0] * 4, 150 + h[1] * 6
+    n = int(_SR * seconds)
+    t = np.arange(n) / _SR
+    rng = np.random.default_rng(int.from_bytes(h[:4], "big"))
+    wave = (0.5 * np.sin(2 * np.pi * f1 * t)
+            + 0.3 * np.sin(2 * np.pi * f2 * t)
+            + 0.05 * rng.standard_normal(n))
+    pcm = np.clip(wave * 32767, -32768, 32767).astype("<i2")
+    return _AMAGIC + struct.pack("<I", _SR) + pcm.tobytes()
+
+
+def audio_features_batch(batch: pa.Table) -> pa.Table:
+    """payload → (duration_s, rms, zero-crossing rate, dominant-freq bin):
+    vectorized numpy DSP; only the codec (here the FAKEAUD header) is fake."""
+    durs, rmss, zcrs, peaks = [], [], [], []
+    for payload in batch["payload"].to_pylist():
+        if not payload.startswith(_AMAGIC):
+            raise ValueError("not a FAKEAUD payload")
+        (sr,) = struct.unpack("<I", payload[8:12])
+        pcm = np.frombuffer(payload[12:], dtype="<i2").astype(np.float64) / 32768
+        durs.append(round(len(pcm) / sr, 4))
+        rmss.append(round(float(np.sqrt(np.mean(pcm ** 2))), 4))
+        zcrs.append(round(float(np.mean(np.abs(np.diff(np.signbit(pcm)))) ), 4))
+        spec = np.abs(np.fft.rfft(pcm))
+        peaks.append(int(np.argmax(spec[1:]) + 1))
+    return pa.table({
+        "media_ref": batch["media_ref"],
+        "duration_s": pa.array(durs, type=pa.float64()),
+        "rms": pa.array(rmss, type=pa.float64()),
+        "zcr": pa.array(zcrs, type=pa.float64()),
+        "peak_bin": pa.array(peaks, type=pa.int64()),
+    })
+
+
 def media_feature_pipeline(refs_ds, decode_concurrency: int = 2,
                            batch_size: int = 64):
     """media_ref rows → decoded feature rows (the canonical multimodal

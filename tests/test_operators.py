@@ -2,6 +2,7 @@
 similarity search, text analysis, multimodal plumbing, page ingest."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -257,3 +258,71 @@ class TestIngest:
             parse_document(html, "https://h0.example.com/a").spans)
         assert list(out["spans"][0]) == expected
         assert out["title"][0] == "T"
+
+
+class TestMultimodalDeep:
+    def test_dhash_near_dup_detection(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.multimodal import (
+            _decode_fake, dhash64, media_dup_pairs, perturb_payload,
+            synth_payload)
+
+        # perturbed copy has a close hash; unrelated image does not
+        p = synth_payload("img://a")
+        q = perturb_payload(p, n_pixels=2, seed=1)
+        r = synth_payload("img://totally-different")
+        ha, hq, hr = (dhash64(_decode_fake(x)[2]) for x in (p, q, r))
+        assert bin(ha ^ hq).count("1") <= 6
+        assert bin(ha ^ hr).count("1") > 6
+
+        rows = []
+        for i in range(40):
+            payload = synth_payload(f"img://doc/{i}")
+            rows.append({"media_ref": f"img://doc/{i}", "payload": payload})
+            if i % 10 == 0:
+                rows.append({"media_ref": f"img://doc/{i}~dup",
+                             "payload": perturb_payload(payload, 2, seed=i)})
+        pairs = media_dup_pairs(ray.data.from_items(rows)).to_pandas()
+        found = set(map(tuple, pairs[["ref_a", "ref_b"]].values))
+        for i in (0, 10, 20, 30):
+            assert (f"img://doc/{i}", f"img://doc/{i}~dup") in found
+
+    def test_video_frame_sampling(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.multimodal import (
+            MediaDecodeStage, frame_sample_batch, synth_payload,
+            synth_video_payload)
+
+        rows = [{"media_ref": "vid://x", "payload": synth_video_payload("vid://x", 10)}]
+        frames = ray.data.from_items(rows).map_batches(
+            frame_sample_batch, fn_kwargs={"every_k": 4},
+            batch_format="pyarrow").to_pandas()
+        assert list(frames["frame_idx"]) == [0, 4, 8]
+        # sampled frames are exact FAKEIMG frames → image pipeline consumes them
+        assert bytes(frames["payload"].iloc[0]) == synth_payload("vid://x#f0")
+        feats = ray.data.from_items(
+            [{"media_ref": f"vid://x#f{i}", "payload": bytes(p)}
+             for i, p in zip(frames["frame_idx"], frames["payload"])]
+        ).map_batches(MediaDecodeStage, batch_format="pyarrow",
+                      concurrency=1).to_pandas()
+        assert len(feats) == 3 and (feats["width"] > 0).all()
+
+    def test_audio_features(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.multimodal import (
+            audio_features_batch, synth_audio_payload)
+
+        rows = [{"media_ref": f"aud://{i}",
+                 "payload": synth_audio_payload(f"aud://{i}")} for i in range(5)]
+        out = ray.data.from_items(rows).map_batches(
+            audio_features_batch, batch_format="pyarrow").to_pandas()
+        assert (out["duration_s"] == 0.5).all()
+        assert ((out["rms"] > 0.2) & (out["rms"] < 0.8)).all()
+        assert (out["zcr"] > 0).all() and (out["peak_bin"] > 0).all()
+        # deterministic: same refs → same features
+        again = ray.data.from_items(rows).map_batches(
+            audio_features_batch, batch_format="pyarrow").to_pandas()
+        pd.testing.assert_frame_equal(out, again)
