@@ -67,6 +67,15 @@ def hash_join(
         raise ValueError(f"unsupported how={how!r}")
     on = [on] if isinstance(on, str) else list(on)
 
+    # degenerate empties: a dataset whose lineage yields zero typed blocks
+    # has schema() None — its columns are unknowable, so short-circuit
+    if left.schema() is None:
+        return left                     # no left rows → no output rows
+    if right.schema() is None:
+        if how in ("inner", "semi"):
+            return left.limit(0)
+        return left                     # anti/left: every left row survives
+
     left_cols = list(left.schema().names)
     right_names = list(right.schema().names)
     rename = {c: (c + suffix if c in left_cols else c)
@@ -143,8 +152,12 @@ def hash_join(
         return pa.Table.from_pandas(out[out_cols], schema=out_schema,
                                     preserve_index=False)
 
-    return l_tag.union(r_tag).groupby("_bucket").map_groups(
+    joined = l_tag.union(r_tag).groupby("_bucket").map_groups(
         per_bucket, batch_format="pyarrow")
+    # one zero-row TYPED block is always present: empty shuffle partitions
+    # yield schema-less blocks, and an all-empty result would otherwise
+    # lose its columns in to_pandas()
+    return joined.union(ray.data.from_arrow(_empty()))
 
 
 def join(
@@ -166,15 +179,30 @@ def join(
         return hash_join(left, right, on, how=how, num_buckets=num_buckets,
                          suffix=suffix)
     on_l = [on] if isinstance(on, str) else list(on)
+    if left.schema() is None:
+        return left
+    if right.schema() is None or n_right == 0:
+        if how in ("inner", "semi"):
+            return left.limit(0)
+        return left
     left_cols = list(left.schema().names)
     rdf = right.to_pandas()
     rename = {c: (c + suffix if c in left_cols else c)
-              for c in rdf.columns if c not in on_l}
+              for c in right.schema().names if c not in on_l}
+    # Ray's to_pandas drops columns on empty frames; n_right>0 here, but
+    # restore names defensively from the schema
+    if not len(rdf.columns):
+        rdf = pd.DataFrame(columns=list(right.schema().names))
     rdf = rdf.rename(columns=rename)
     r_ref = ray.put(rdf)
 
+    out_cols_bc = (left_cols if how in ("semi", "anti")
+                   else left_cols + [c for c in rdf.columns if c not in on_l])
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         r = ray.get(r_ref)
+        if not len(df.columns):          # schema-less empty shuffle block
+            return pd.DataFrame(columns=out_cols_bc)
         if how == "semi":
             return df.merge(r[on_l].drop_duplicates(), on=on_l, how="inner")
         if how == "anti":
@@ -186,6 +214,68 @@ def join(
     import ray as _ray  # noqa: F401  (ray.get in workers)
 
     return left.map_batches(merge, batch_format="pandas")
+
+
+def salted_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    how: str = "inner",
+    hot_keys: list | None = None,
+    n_salts: int = 8,
+    hot_fraction: float = 0.05,
+    sample_rows: int = 100_000,
+    num_buckets: int = 64,
+    suffix: str = "_right",
+) -> "ray.data.Dataset":
+    """Skew-mitigated equi-join (the docstring's "salt the hot keys
+    upstream", made concrete): a single hot key cannot be split by hash
+    bucketing alone — all its rows land in one bucket and one straggler
+    task.  Here the hot keys' LEFT rows scatter uniformly over ``n_salts``
+    sub-keys (a deterministic per-batch round-robin) while their RIGHT rows
+    are replicated once per salt; the join key becomes (key, _salt), so the
+    hot key's work spreads over ``n_salts`` buckets.  Non-hot keys pay
+    nothing (salt 0, no replication).
+
+    ``hot_keys=None`` auto-detects: keys above ``hot_fraction`` of a
+    ``sample_rows`` sample of the left side.  Same results as
+    :func:`hash_join` for every ``how`` (single-column keys)."""
+    if hot_keys is None:
+        n_left = left.count()
+        frac = min(1.0, sample_rows / max(n_left, 1))
+        sample = (left.random_sample(frac, seed=7) if frac < 1.0 else left)
+        counts = sample.select_columns([on]).to_pandas()[on].value_counts()
+        hot_keys = list(counts[counts / max(counts.sum(), 1)
+                               >= hot_fraction].index)
+    hot = set(hot_keys)
+    if not hot:
+        return hash_join(left, right, on, how=how, num_buckets=num_buckets,
+                         suffix=suffix)
+
+    def salt_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        salt = np.zeros(len(df), dtype=np.int32)
+        mask = df[on].isin(hot).to_numpy()
+        salt[mask] = np.arange(int(mask.sum()), dtype=np.int32) % n_salts
+        df["_salt"] = salt
+        return df
+
+    def salt_right(df: pd.DataFrame) -> pd.DataFrame:
+        mask = df[on].isin(hot).to_numpy()
+        cold = df[~mask].copy()
+        cold["_salt"] = np.int32(0)
+        hots = df[mask]
+        if len(hots):
+            reps = [hots.assign(_salt=np.int32(s)) for s in range(n_salts)]
+            return pd.concat([cold] + reps, ignore_index=True)
+        return cold
+
+    l_s = left.map_batches(salt_left, batch_format="pandas")
+    r_s = right.map_batches(salt_right, batch_format="pandas")
+    out = hash_join(l_s, r_s, on=[on, "_salt"], how=how,
+                    num_buckets=num_buckets, suffix=suffix)
+    return out.map_batches(lambda df: df.drop(columns=["_salt"]),
+                           batch_format="pandas")
 
 
 def semi_join(left, right, on, num_buckets: int = 64):

@@ -142,3 +142,40 @@ class TestHyperLogLog:
         b = approx_distinct(ray.data.from_pandas(df).repartition(17), "v")
         assert a == b            # partition layout must not change the sketch
         assert abs(a - 997) / 997 < 0.03
+
+
+class TestSaltedJoin:
+    def test_skewed_key_same_result(self, ray_session):
+        import ray.data
+        from spidey_ray.stages.joins import hash_join, salted_join
+
+        rng = np.random.default_rng(5)
+        # one key owns half the left side (the straggler-bucket case)
+        keys = np.where(rng.random(4000) < 0.5, 7, rng.integers(0, 200, 4000))
+        l_df = pd.DataFrame({"k": keys, "lv": np.arange(4000)})
+        r_df = pd.DataFrame({"k": np.arange(0, 200), "rv": np.arange(0, 200) * 10})
+        l_ds = ray.data.from_pandas(l_df).repartition(8)
+        r_ds = ray.data.from_pandas(r_df).repartition(3)
+        for how in ("inner", "left", "semi", "anti"):
+            plain = hash_join(l_ds, r_ds, on="k", how=how).to_pandas()
+            salted = salted_join(l_ds, r_ds, on="k", how=how,
+                                 hot_keys=[7], n_salts=4).to_pandas()
+            cols = sorted(plain.columns)
+            canon = lambda df: sorted(map(tuple, df[cols].astype(str).values))  # noqa: E731
+            assert canon(plain) == canon(salted), how
+
+    def test_auto_hot_detection(self, ray_session):
+        import ray.data
+        from spidey_ray.stages.joins import hash_join, salted_join
+
+        rng = np.random.default_rng(9)
+        keys = np.where(rng.random(3000) < 0.4, 42, rng.integers(0, 100, 3000))
+        l_ds = ray.data.from_pandas(
+            pd.DataFrame({"k": keys, "lv": np.arange(3000)}))
+        r_ds = ray.data.from_pandas(
+            pd.DataFrame({"k": np.arange(100), "rv": np.arange(100)}))
+        a = hash_join(l_ds, r_ds, on="k").to_pandas()
+        b = salted_join(l_ds, r_ds, on="k").to_pandas()   # auto-detect 42
+        cols = sorted(a.columns)
+        canon = lambda df: sorted(map(tuple, df[cols].values))  # noqa: E731
+        assert canon(a) == canon(b)

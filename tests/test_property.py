@@ -147,3 +147,51 @@ class TestCuckooProperties:
         f.seen_or_add(arr)
         g = CuckooFilter.restore(f.serialize())
         assert g.contains(arr).all()
+
+
+class TestJoinProperties:
+    """hash_join vs pandas merge on adversarial keys (includes NUL and
+    unicode — guards the factorize-truncation class of bucket-hash bug)."""
+
+    @given(
+        keys=st.lists(
+            st.one_of(st.text(min_size=0, max_size=6),
+                      st.sampled_from(["a\x00b", "a\x00c", "\x00", "é", ""])),
+            min_size=0, max_size=30),
+        rkeys=st.lists(
+            st.one_of(st.text(min_size=0, max_size=6),
+                      st.sampled_from(["a\x00b", "a\x00c", "\x00", "é", ""])),
+            min_size=0, max_size=30),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_inner_semi_anti_match_pandas(self, ray_session, keys, rkeys):
+        import pandas as pd
+        import ray.data
+
+        from spidey_ray.stages.joins import hash_join
+
+        l_df = pd.DataFrame({"k": keys, "lv": range(len(keys))})
+        r_df = pd.DataFrame({"k": rkeys, "rv": range(len(rkeys))})
+        l_ds = ray.data.from_pandas(l_df).repartition(3)
+        r_ds = ray.data.from_pandas(r_df).repartition(2)
+
+        def canon(df, cols):
+            # Ray's to_pandas yields a column-less frame for EMPTY results
+            # (the dataset schema itself is correct) — reindex to compare
+            return df.reindex(columns=cols)
+
+        inner = canon(hash_join(l_ds, r_ds, on="k", num_buckets=5).to_pandas(),
+                      ["k", "lv", "rv"])
+        exp = l_df.merge(r_df, on="k")
+        assert sorted(map(tuple, inner[["k", "lv", "rv"]].values)) == \
+            sorted(map(tuple, exp[["k", "lv", "rv"]].values))
+
+        semi = canon(hash_join(l_ds, r_ds, on="k", how="semi",
+                               num_buckets=5).to_pandas(), ["k", "lv"])
+        anti = canon(hash_join(l_ds, r_ds, on="k", how="anti",
+                               num_buckets=5).to_pandas(), ["k", "lv"])
+        rset = set(rkeys)
+        assert sorted(semi["lv"]) == sorted(
+            l_df[l_df["k"].isin(rset)]["lv"])
+        assert sorted(anti["lv"]) == sorted(
+            l_df[~l_df["k"].isin(rset)]["lv"])
