@@ -194,6 +194,11 @@ class CrawlEngine:
         self._pattern = self.settings.netloc_pattern()
         self.gate = GateState()
         self.blacklist = BlacklistState()
+        import uuid as _uuid
+
+        # (nonce, version) keys the workers' compiled-blacklist cache: the
+        # nonce isolates engine instances sharing one Ray session's workers
+        self._blacklist_version = (_uuid.uuid4().hex[:12], 0)
         # running token-count accumulator: O(vocabulary), merged per
         # round (a per-round frame LIST would be O(rounds x round-vocab))
         self._token_acc: dict[str, int] = {}
@@ -382,6 +387,7 @@ class CrawlEngine:
             fetch_spec=(None if self._synthetic_fetch else
                         (self.fetch_module, self.fetch_name,
                          self.fetch_kwargs)),
+            blacklist_version=self._blacklist_version,
         )
         inline = len(admitted) <= self.inline_threshold
         if inline:
@@ -608,6 +614,9 @@ class CrawlEngine:
             self.blacklist.add(p.pattern, p.reason, p.temporary)
             if p.cancel:
                 cancel_patterns.append(p.pattern)
+        if new_patterns:
+            self._blacklist_version = (self._blacklist_version[0],
+                                       self._blacklist_version[1] + 1)
         if cancel_patterns:
             # shard-side regex cancel; the reference deletes cancelled URLs
             # from the shelve so they can be re-added (frontier.py:85-88)
@@ -651,9 +660,13 @@ class CrawlEngine:
         with open(os.path.join(rd, "blacklist.json"), "w") as f:
             json.dump({"permanent": self.blacklist.permanent,
                        "temp": sorted(self.blacklist.temp)}, f)
-        host_snaps = ray.get([s.snapshot.remote() for s in self.host_shards])
-        with open(os.path.join(rd, "host_shards.json"), "w") as f:
-            json.dump(host_snaps, f)
+        # host shards write their own snapshots (O(hosts) JSON must not
+        # round-trip the driver each round)
+        ray.get([
+            shard.checkpoint.remote(
+                os.path.join(rd, f"host_shard{i}.json"))
+            for i, shard in enumerate(self.host_shards)
+        ])
         delta = self._round_token_partial
         pq.write_table(
             pa.table({"token": pa.array(delta["token"].astype(str).tolist()
@@ -702,6 +715,9 @@ class CrawlEngine:
         self._synthetic_fetch = (
             self.fetch_module == "spidey_ray.sources.synthetic_web")
         self._pattern = self.settings.netloc_pattern()
+        import uuid as _uuid
+
+        self._blacklist_version = (_uuid.uuid4().hex[:12], 0)
         self.start_round = round_k + 1
         self.timings = {}
 
@@ -741,14 +757,17 @@ class CrawlEngine:
 
         self.seen = ShardedSeen.restore_from_dir(rd)
 
-        with open(os.path.join(rd, "host_shards.json")) as f:
-            host_snaps = json.load(f)
+        snap_paths = sorted(
+            os.path.join(rd, f) for f in os.listdir(rd)
+            if f.startswith("host_shard") and f.endswith(".json")
+        )
+        self.n_host_shards = len(snap_paths) or self.n_host_shards
         self.host_shards = [
             HostShard.remote(
                 self.settings, self.fetch_module, self.fetch_name,
-                self.fetch_kwargs, snapshot=snap,
+                self.fetch_kwargs, snapshot_path=p,
             )
-            for snap in host_snaps
+            for p in snap_paths
         ]
         return self
 

@@ -123,6 +123,9 @@ def _resolve_fetch(fetch_spec: tuple | None, cfg: "sw.WebConfig"):
     return fn
 
 
+_BLACKLIST_CACHE: dict = {}
+
+
 def round_process_batch(
     batch: pa.Table,
     web_cfg: dict,
@@ -132,10 +135,22 @@ def round_process_batch(
     base_seq: int,
     host_rules: dict[str, str] | None = None,
     fetch_spec: tuple | None = None,
+    blacklist_version: int | None = None,
 ) -> pa.Table:
     cfg = sw.WebConfig(**web_cfg)
     fetch_fn = _resolve_fetch(fetch_spec, cfg)
-    is_blacklisted = CompiledBlacklist(blacklist_patterns)
+    # compile once per (worker, blacklist version), not once per block task:
+    # the pattern list grows with the crawl and recompiling the exact-set +
+    # alternation per task is O(patterns) work × blocks per round
+    if blacklist_version is not None:
+        is_blacklisted = _BLACKLIST_CACHE.get(blacklist_version)
+        if is_blacklisted is None:
+            if len(_BLACKLIST_CACHE) > 8:
+                _BLACKLIST_CACHE.clear()
+            is_blacklisted = _BLACKLIST_CACHE[blacklist_version] = \
+                CompiledBlacklist(blacklist_patterns)
+    else:
+        is_blacklisted = CompiledBlacklist(blacklist_patterns)
     netloc = settings.netloc_pattern()
     # robots rules of already-processed rule-bearing hosts: immutable after
     # first sighting, so the gate evaluates in-stage (round-start snapshot,

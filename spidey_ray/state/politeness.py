@@ -174,7 +174,8 @@ class HostShard:
 
     def __init__(self, settings: CrawlSettings, fetch_factory_module: str,
                  fetch_factory_name: str, fetch_factory_arg: dict,
-                 snapshot: dict | None = None):
+                 snapshot: dict | None = None,
+                 snapshot_path: str | None = None):
         import importlib
 
         self.settings = settings
@@ -183,6 +184,13 @@ class HostShard:
         pattern = settings.netloc_pattern()
         self.is_valid = lambda u: urltools.is_valid(u, pattern)
         self.hosts: dict[str, HostState] = {}
+        if snapshot_path is not None:
+            import json
+            import os
+
+            if os.path.exists(snapshot_path):
+                with open(snapshot_path) as f:
+                    snapshot = json.load(f)
         if snapshot:
             for h, s in snapshot.items():
                 st = HostState(host=h, robots_processed=s["robots_processed"],
@@ -270,6 +278,19 @@ class HostShard:
             s = self.hosts.get(host)
             if s is not None and s.robots_processed:
                 s.n_urls += n
+
+    def checkpoint(self, path: str) -> int:
+        """Write this shard's own snapshot — the driver records the path
+        only (the per-round host-state JSON is O(hosts) and must not
+        round-trip the driver every round at 10^10-frontier host counts)."""
+        import json
+        import os
+
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.snapshot(), f)
+        os.replace(tmp, path)
+        return len(self.hosts)
 
     def snapshot(self) -> dict:
         return {
