@@ -171,6 +171,7 @@ class CrawlEngine:
         fetch_module: str = "spidey_ray.sources.synthetic_web",
         fetch_name: str = "make_fetch_fn",
         fetch_kwargs: dict | None = None,
+        frontier_mem_rows_per_host: int = 200_000,
     ):
         self.web_cfg = web_cfg
         self.settings = settings or CrawlSettings()
@@ -214,7 +215,11 @@ class CrawlEngine:
         # holds O(round) rows, never the frontier or the crawled history.
         # Frontier shard count == host shard count so shard i's candidate
         # counts feed politeness shard i directly (same host_shard_of route).
-        self.frontier = ShardedFrontier(n_host_shards)
+        spill_dir = (os.path.join(ckpt_dir, ".frontier_spill")
+                     if ckpt_dir else None)
+        self.frontier = ShardedFrontier(
+            n_host_shards, spill_dir=spill_dir,
+            mem_rows_per_host=frontier_mem_rows_per_host)
         self.footprints = ShardedFootprints(n_seen_shards)
         # full fetch history is retained in driver memory ONLY for
         # checkpoint-less (test-scale) runs; with a ckpt_dir the per-round
@@ -722,7 +727,11 @@ class CrawlEngine:
         self.timings = {}
 
         # sharded state restores itself: each shard loads its own blob
-        self.frontier = ShardedFrontier.restore(rd, self.n_host_shards)
+        self.frontier = ShardedFrontier.restore(
+            rd, self.n_host_shards,
+            spill_dir=os.path.join(ckpt_dir, ".frontier_spill"),
+            mem_rows_per_host=kwargs.get("frontier_mem_rows_per_host",
+                                         200_000))
         self.footprints = ShardedFootprints.restore(rd)
         self._fetched_frames = []   # read from fetched_delta logs at result time
 

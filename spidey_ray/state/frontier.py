@@ -52,15 +52,85 @@ def _rows_table(rows: list[tuple]) -> pa.Table:
     })
 
 
+def _row_key(r: tuple) -> tuple:
+    return (r[3], r[0])                 # canonical (depth, url)
+
+
 @ray.remote(num_cpus=0.01)
 class FrontierShard:
-    def __init__(self, blob_path: str | None = None):
+    """Pending rows for this shard's hosts, with BOUNDED resident memory
+    (SURVEY §7.5.7: frontier on disk, only the ready set in memory).
+
+    Per host, the canonical-order HEAD stays in a memory list; when a
+    host's list exceeds ``mem_rows_per_host`` the sorted TAIL spills to a
+    per-host parquet file under ``spill_dir``.  Admission takes the head
+    prefix directly while it provably precedes every spilled row
+    (``spill_min`` tracks the smallest spilled (depth, url) per host) and
+    compacts the host — merge spill back, re-spill the new tail — only
+    when the prefix would cross that bound.  Checkpoints STREAM mem + spill
+    row groups into the round's parquet without materializing the spill."""
+
+    def __init__(self, blob_path: str | None = None,
+                 spill_dir: str | None = None,
+                 mem_rows_per_host: int = 200_000):
         self.by_host: dict[str, list[tuple]] = {}
         self.n = 0
+        self.spill_dir = spill_dir
+        self.cap = max(mem_rows_per_host, 8)
+        self.spill_files: dict[str, list[str]] = {}
+        self.spill_min: dict[str, tuple] = {}
+        self.n_spilled: dict[str, int] = {}
+        self._spill_seq = 0
+        if spill_dir:
+            os.makedirs(spill_dir, exist_ok=True)
         if blob_path and os.path.exists(blob_path):
-            t = pq.read_table(blob_path)
-            self.add(t)
+            self.add(pq.read_table(blob_path))
 
+    # -- spill machinery --------------------------------------------------
+    def _maybe_spill(self, host: str) -> None:
+        rows = self.by_host.get(host)
+        if not self.spill_dir or rows is None or len(rows) <= self.cap:
+            return
+        rows.sort(key=_row_key)
+        keep = self.cap // 2
+        tail = rows[keep:]
+        del rows[keep:]
+        import hashlib as _hl
+
+        tag = _hl.sha1(host.encode()).hexdigest()[:12]
+        path = os.path.join(self.spill_dir,
+                            f"{tag}-{self._spill_seq:06d}.parquet")
+        self._spill_seq += 1
+        pq.write_table(_rows_table(tail), path)
+        self.spill_files.setdefault(host, []).append(path)
+        first = _row_key(tail[0])
+        cur = self.spill_min.get(host)
+        self.spill_min[host] = first if cur is None else min(cur, first)
+        self.n_spilled[host] = self.n_spilled.get(host, 0) + len(tail)
+
+    def _compact(self, host: str) -> None:
+        files = self.spill_files.pop(host, [])
+        if not files:
+            return
+        rows = self.by_host.setdefault(host, [])
+        for f in files:
+            t = pq.read_table(f)
+            rows.extend(self._table_rows(t))
+            os.unlink(f)
+        self.spill_min.pop(host, None)
+        self.n_spilled.pop(host, None)
+
+    @staticmethod
+    def _table_rows(t: pa.Table) -> list[tuple]:
+        return list(zip(
+            t["url"].to_pylist(), t["url_hash"].to_pylist(),
+            t["host"].to_pylist(),
+            (int(d) for d in t["depth"].to_pylist()),
+            t["parent_url"].to_pylist(),
+            (int(r) for r in t["round_added"].to_pylist()),
+        ))
+
+    # -- API --------------------------------------------------------------
     def add(self, t: pa.Table) -> int:
         urls = t["url"].to_pylist()
         hashes = t["url_hash"].to_pylist()
@@ -68,13 +138,25 @@ class FrontierShard:
         depths = t["depth"].to_pylist()
         parents = t["parent_url"].to_pylist()
         rounds = t["round_added"].to_pylist()
+        touched = set()
         for u, h, ho, d, p, r in zip(urls, hashes, hosts, depths, parents, rounds):
             self.by_host.setdefault(ho, []).append((u, h, ho, int(d), p, int(r)))
+            touched.add(ho)
         self.n += len(urls)
+        for ho in touched:
+            self._maybe_spill(ho)
         return self.n
 
     def host_counts(self) -> dict[str, int]:
-        return {h: len(rows) for h, rows in self.by_host.items() if rows}
+        out = {}
+        for h, rows in self.by_host.items():
+            n = len(rows) + self.n_spilled.get(h, 0)
+            if n:
+                out[h] = n
+        for h, ns in self.n_spilled.items():
+            if h not in out and ns:
+                out[h] = ns
+        return out
 
     def admit(self, n_admit: dict[str, int]) -> pa.Table:
         """Remove and return, per host, the first ``n_admit[host]`` pending
@@ -82,10 +164,28 @@ class FrontierShard:
         politeness clock granted this round."""
         out: list[tuple] = []
         for host, k in n_admit.items():
-            rows = self.by_host.get(host)
-            if not rows or k <= 0:
+            if k <= 0:
                 continue
-            rows.sort(key=lambda r: (r[3], r[0]))
+            rows = self.by_host.get(host)
+            if rows:
+                rows.sort(key=_row_key)
+            smin = self.spill_min.get(host)
+            if smin is not None:
+                # the memory head is only admissible while it sorts before
+                # every spilled row; if the granted prefix would reach the
+                # spill boundary, merge the spill back first
+                rows = self.by_host.get(host) or []
+                safe = 0
+                while safe < len(rows) and safe < k and _row_key(rows[safe]) < smin:
+                    safe += 1
+                if safe < k:
+                    self._compact(host)
+                    rows = self.by_host.get(host)
+                    if rows:
+                        rows.sort(key=_row_key)
+            rows = self.by_host.get(host)
+            if not rows:
+                continue
             take, keep = rows[:k], rows[k:]
             out.extend(take)
             self.n -= len(take)
@@ -93,11 +193,16 @@ class FrontierShard:
                 self.by_host[host] = keep
             else:
                 del self.by_host[host]
+            self._maybe_spill(host)
         return _rows_table(out)
 
     def cancel(self, patterns: list[str]) -> list[bytes]:
         """Drop rows whose url matches any pattern; return their hashes so
-        the driver can delete them from the seen set (frontier.py:85-88)."""
+        the driver can delete them from the seen set (frontier.py:85-88).
+        Spilled hosts are compacted first — cancels are rare (trap/query
+        patterns only) and must see every pending row."""
+        for host in list(self.spill_files):
+            self._compact(host)
         rx = re.compile("|".join(f"(?:{p})" for p in patterns))
         removed: list[bytes] = []
         for host in list(self.by_host):
@@ -113,19 +218,35 @@ class FrontierShard:
             else:
                 del self.by_host[host]
         self.n -= len(removed)
+        for host in list(self.by_host):
+            self._maybe_spill(host)
         return removed
 
     def count(self) -> int:
         return self.n
 
     def dump(self) -> pa.Table:
-        out: list[tuple] = []
-        for rows in self.by_host.values():
-            out.extend(rows)
-        return _rows_table(out)
+        """Full pending table (result-time / small runs: loads spill)."""
+        tabs = [_rows_table([r for rows in self.by_host.values()
+                             for r in rows])]
+        for files in self.spill_files.values():
+            for f in files:
+                tabs.append(pq.read_table(f))
+        return pa.concat_tables(tabs)
 
     def checkpoint(self, path: str) -> int:
-        pq.write_table(self.dump(), path)
+        """Stream mem rows + spill files into one parquet; resident memory
+        stays bounded (spill files are appended row-group by row-group)."""
+        mem = _rows_table([r for rows in self.by_host.values() for r in rows])
+        writer = pq.ParquetWriter(path, mem.schema)
+        try:
+            if len(mem):
+                writer.write_table(mem)
+            for files in self.spill_files.values():
+                for f in files:
+                    writer.write_table(pq.read_table(f))
+        finally:
+            writer.close()
         return self.n
 
 
@@ -133,12 +254,23 @@ class ShardedFrontier:
     """Driver facade. One RPC per shard per step; only admitted/added rows
     (O(round)) ever cross the driver boundary."""
 
-    def __init__(self, n_shards: int, blob_paths: list[str] | None = None):
+    def __init__(self, n_shards: int, blob_paths: list[str] | None = None,
+                 spill_dir: str | None = None,
+                 mem_rows_per_host: int = 200_000):
         self.n_shards = n_shards
+
+        def _mk(i: int, blob: str | None):
+            return FrontierShard.remote(
+                blob_path=blob,
+                spill_dir=(os.path.join(spill_dir, f"shard{i}")
+                           if spill_dir else None),
+                mem_rows_per_host=mem_rows_per_host,
+            )
+
         if blob_paths is not None:
-            self.shards = [FrontierShard.remote(blob_path=p) for p in blob_paths]
+            self.shards = [_mk(i, p) for i, p in enumerate(blob_paths)]
         else:
-            self.shards = [FrontierShard.remote() for _ in range(n_shards)]
+            self.shards = [_mk(i, None) for i in range(n_shards)]
 
     def add_df(self, df: pd.DataFrame) -> None:
         if not len(df):
@@ -187,15 +319,18 @@ class ShardedFrontier:
         return paths
 
     @classmethod
-    def restore(cls, round_dir: str, n_shards: int) -> "ShardedFrontier":
+    def restore(cls, round_dir: str, n_shards: int,
+                spill_dir: str | None = None,
+                mem_rows_per_host: int = 200_000) -> "ShardedFrontier":
         paths = sorted(
             os.path.join(round_dir, f) for f in os.listdir(round_dir)
             if f.startswith("pending_shard") and f.endswith(".parquet")
         )
+        kw = dict(spill_dir=spill_dir, mem_rows_per_host=mem_rows_per_host)
         if len(paths) == n_shards:
-            return cls(n_shards, blob_paths=paths)
+            return cls(n_shards, blob_paths=paths, **kw)
         # shard count changed across resume: redistribute by host routing
-        self = cls(n_shards)
+        self = cls(n_shards, **kw)
         tabs = [pq.read_table(p) for p in paths]
         if tabs:
             self.add_df(pa.concat_tables(tabs).to_pandas())

@@ -216,3 +216,66 @@ class TestAdmission:
         cands = [("a1", "a"), ("b1", "b"), ("a2", "a"), ("b2", "b")]
         admitted, _ = admit_round(cands, {}, {"a": 0.5, "b": 0.5}, 0, 1.0)
         assert admitted == [0, 1, 2, 3]
+
+
+class TestFrontierSpill:
+    def test_forced_spill_crawl_identical(self, ray_session, small_web,
+                                          oracle_result, tmp_path):
+        """mem_rows_per_host=8 forces constant per-host tail spill +
+        compaction in the frontier shards — the crawl must be bit-identical
+        (admission order, seen set, tokens) to the no-spill oracle."""
+        from spidey_ray.pipelines.crawl import CrawlEngine
+
+        res = CrawlEngine(small_web, ckpt_dir=str(tmp_path / "ck"),
+                          frontier_mem_rows_per_host=8).run()
+        assert res.fetch_log == oracle_result.fetch_log
+        assert res.seen_hashes == oracle_result.seen_hashes
+        assert res.token_counts == oracle_result.token_counts
+        assert dict(res.blacklist.permanent) == dict(
+            oracle_result.blacklist.permanent)
+
+    def test_forced_spill_resume(self, ray_session, small_web, tmp_path):
+        from spidey_ray.pipelines.crawl import CrawlEngine
+        from spidey_ray.pipelines.oracle import crawl_serial
+
+        ckpt = str(tmp_path / "ckpt")
+        CrawlEngine(small_web, ckpt_dir=ckpt,
+                    frontier_mem_rows_per_host=8).run(stop_after_round=2)
+        resumed = CrawlEngine.resume(
+            ckpt, small_web, frontier_mem_rows_per_host=8).run()
+        oracle = crawl_serial(small_web)
+        assert resumed.fetch_log == oracle.fetch_log
+        assert resumed.seen_hashes == oracle.seen_hashes
+
+    def test_shard_spill_mechanics(self, ray_session, tmp_path):
+        """Direct shard check: tail spills to disk, counts include spilled
+        rows, admission that crosses the spill boundary compacts and still
+        returns the exact canonical prefix."""
+        import os
+
+        import pyarrow as pa
+        import ray
+
+        from spidey_ray.state.frontier import FrontierShard
+
+        spill = str(tmp_path / "sp")
+        shard = FrontierShard.remote(spill_dir=spill, mem_rows_per_host=8)
+        rows = {
+            "url": [f"https://h.example.com/p/{i:03d}" for i in range(30)],
+            "url_hash": [bytes([i]) * 20 for i in range(30)],
+            "host": ["h.example.com"] * 30,
+            "depth": [i % 3 for i in range(30)],
+            "parent_url": [""] * 30,
+            "round_added": [0] * 30,
+        }
+        ray.get(shard.add.remote(pa.table(rows)))
+        assert ray.get(shard.count.remote()) == 30
+        assert ray.get(shard.host_counts.remote()) == {"h.example.com": 30}
+        spill_files = [f for f in os.listdir(spill) if f.endswith(".parquet")]
+        assert spill_files, "tail must have spilled to disk"
+        # canonical order over ALL 30 rows (depth asc, url asc)
+        expected = sorted(zip(rows["depth"], rows["url"]))
+        got = ray.get(shard.admit.remote({"h.example.com": 25}))
+        assert list(zip(got["depth"].to_pylist(), got["url"].to_pylist())) \
+            == expected[:25]
+        assert ray.get(shard.count.remote()) == 5
