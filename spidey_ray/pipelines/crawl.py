@@ -131,11 +131,10 @@ class EngineResult:
                 if f.endswith(".parquet"):
                     t = pq.read_table(os.path.join(d, f))
                     if self.excluded_doc_ids:
-                        mask = pa.array([
-                            u not in self.excluded_doc_ids
-                            for u in t["doc_id"].to_pylist()
-                        ])
-                        t = t.filter(mask)
+                        excl = pa.array(sorted(self.excluded_doc_ids),
+                                        type=pa.string())
+                        t = t.filter(pc.invert(
+                            pc.is_in(t["doc_id"], value_set=excl)))
                     parts.append(t)
         return pa.concat_tables(parts) if parts else None
 
@@ -147,10 +146,10 @@ class EngineResult:
             return None
         ds = ray.data.read_parquet(self.documents_path)
         if self.excluded_doc_ids:
-            excl = self.excluded_doc_ids
+            excl = pa.array(sorted(self.excluded_doc_ids), type=pa.string())
             ds = ds.map_batches(
                 lambda t, _e=excl: t.filter(
-                    pa.array([u not in _e for u in t["doc_id"].to_pylist()])),
+                    pc.invert(pc.is_in(t["doc_id"], value_set=_e))),
                 batch_format="pyarrow",
             )
         return ds

@@ -66,10 +66,12 @@ def main() -> None:
                     excl_ids.update(json.load(fh))
         if excl_ids:
             import pyarrow as pa
+            import pyarrow.compute as pc
 
+            excl = pa.array(sorted(excl_ids), type=pa.string())
             docs = docs.map_batches(
-                lambda t, _e=excl_ids: t.filter(
-                    pa.array([u not in _e for u in t["doc_id"].to_pylist()])),
+                lambda t, _e=excl: t.filter(
+                    pc.invert(pc.is_in(t["doc_id"], value_set=_e))),
                 batch_format="pyarrow")
 
     os.makedirs(args.out, exist_ok=True)
