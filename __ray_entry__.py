@@ -839,6 +839,21 @@ def q_ivf_ann(sf_dir: str):
     })
 
 
+def q_price_quantiles(sf_dir: str):
+    """Exact distributed order statistics over orders.o_totalprice
+    (SQL-checked: both sides pick rank floor(q·(n−1)) with the same
+    (price, orderkey) tie-break)."""
+    from spidey_ray.stages.sketches import exact_quantiles
+
+    res = exact_quantiles(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        "o_totalprice", [0.25, 0.5, 0.75], tiebreak_cols=["o_orderkey"])
+    return pa.table({
+        "q": pa.array([q for q, _ in res], type=pa.float64()),
+        "value": pa.array([round(v, 2) for _, v in res], type=pa.float64()),
+    })
+
+
 def q_media_phash_pairs(sf_dir: str):
     """Near-duplicate media via banded perceptual hash (rows-only): every
     20th document's image gets a perturbed copy planted; the operator must
@@ -955,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": q_anti_join,
         "shuffle_join": q_shuffle_join,
         "shuffle_left_join": q_shuffle_left_join,
+        "price_quantiles": q_price_quantiles,
         "distinct": q_distinct,
         "union_groupby": q_union_groupby,
         "grouped_topk": q_grouped_topk,
@@ -1061,6 +1077,18 @@ def oracle_sql() -> dict[str, str]:
                 from orders where o_totalprice > 400000 group by o_custkey
             ) o using (c_custkey)
             order by c.c_custkey
+        """,
+        "price_quantiles": """
+            with s as (
+                select o_totalprice as v,
+                       row_number() over (order by o_totalprice, o_orderkey) - 1
+                           as rn
+                from orders
+            ), n as (select count(*) as c from orders)
+            select t.q, round(s.v, 2) as value
+            from (values (0.25), (0.5), (0.75)) t(q), s, n
+            where s.rn = cast(floor(t.q * (n.c - 1)) as bigint)
+            order by t.q
         """,
         "distinct": "select distinct lang, source from documents",
         "union_groupby": """

@@ -71,6 +71,44 @@ def hll_estimate(regs: np.ndarray, p: int) -> float:
     return float(est)
 
 
+def exact_quantiles(ds: "ray.data.Dataset", value_col: str,
+                    qs: list[float], tiebreak_cols: list[str] | None = None,
+                    ) -> list[tuple[float, float]]:
+    """EXACT order statistics at corpus scale: one distributed sort, then
+    each requested rank k = floor(q·(n−1)) is located by a prefix sum over
+    the sorted blocks' row counts and fetched by a targeted task that
+    slices ONE row from ONE block — nothing but the k results reach the
+    driver.  (The same sorted-block-offset machinery as the indexer's
+    doc-number assignment.)"""
+    import ray
+
+    tiebreak_cols = tiebreak_cols or []
+    n = ds.count()
+    if n == 0:
+        return []
+    wanted = {q: min(n - 1, int(q * (n - 1))) for q in qs}
+    mat = ds.sort([value_col] + tiebreak_cols).materialize()
+
+    @ray.remote
+    def _pick(block, local_idx: int):
+        if hasattr(block, "iloc"):               # pandas block
+            return float(block.iloc[local_idx][value_col])
+        return float(block[value_col][local_idx].as_py())
+
+    refs, off = {}, 0
+    blocks = [
+        (block_ref, meta.num_rows)
+        for b in mat.iter_internal_ref_bundles()
+        for block_ref, meta in zip(b.block_refs, b.metadata)
+    ]
+    for block_ref, rows in blocks:
+        for q, k in wanted.items():
+            if off <= k < off + rows:
+                refs[q] = _pick.remote(block_ref, k - off)
+        off += rows
+    return sorted((q, ray.get(r)) for q, r in refs.items())
+
+
 def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 14) -> int:
     """Approximate COUNT(DISTINCT col): ±~0.8% at p=14 (16 KB state)."""
     parts = ds.map_batches(

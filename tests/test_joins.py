@@ -179,3 +179,31 @@ class TestSaltedJoin:
         cols = sorted(a.columns)
         canon = lambda df: sorted(map(tuple, df[cols].values))  # noqa: E731
         assert canon(a) == canon(b)
+
+
+class TestExactQuantiles:
+    def test_matches_numpy_order_statistics(self, ray_session):
+        import pandas as pd
+        import ray.data
+        from spidey_ray.stages.sketches import exact_quantiles
+
+        rng = np.random.default_rng(13)
+        vals = rng.random(5000) * 1000
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"id": np.arange(5000), "v": vals})).repartition(11)
+        got = exact_quantiles(ds, "v", [0.0, 0.25, 0.5, 0.9, 1.0],
+                              tiebreak_cols=["id"])
+        srt = np.sort(vals)
+        for q, v in got:
+            assert v == srt[min(4999, int(q * 4999))], q
+
+    def test_empty_and_single(self, ray_session):
+        import pandas as pd
+        import ray.data
+        from spidey_ray.stages.sketches import exact_quantiles
+
+        empty = ray.data.from_pandas(
+            pd.DataFrame({"v": pd.Series(dtype=float)}))
+        assert exact_quantiles(empty, "v", [0.5]) == []
+        one = ray.data.from_pandas(pd.DataFrame({"v": [42.0]}))
+        assert exact_quantiles(one, "v", [0.1, 0.9]) == [(0.1, 42.0), (0.9, 42.0)]
