@@ -445,6 +445,41 @@ def q_events_filter(sf_dir: str):
         )
 
 
+def q_events_pivot(sf_dir: str):
+    """Per-user event-type pivot (conditional aggregation): one row per
+    user with a count column per event type — block partials then a small
+    keyed merge."""
+    types = ["click", "view", "purchase", "signup"]
+    cols = [f"n_{t}" for t in types]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"user_id": [], **{c: [] for c in cols}}
+        g = df.groupby(["user_id", "event_type"]).size().unstack(
+            fill_value=0)
+        for t in types:
+            if t not in g.columns:
+                g[t] = 0
+        g = g.reset_index()
+        out = pd.DataFrame({"user_id": g["user_id"]})
+        for t, c in zip(types, cols):
+            out[c] = g[t].astype("int64")
+        return out
+
+    out = (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(
+            lambda g: g.groupby("user_id", as_index=False)[cols].sum(),
+            batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_sessionize(sf_dir: str):
     """Session windows over the events stream (30-min gap)."""
     from spidey_ray.stages.windows import sessionize
@@ -983,6 +1018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
         "events_filter": q_events_filter,
+        "events_pivot": q_events_pivot,
         "sessionize": q_sessionize,
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_events_hopping,
@@ -1148,6 +1184,14 @@ def oracle_sql() -> dict[str, str]:
         "events_filter": """
             select event_id, user_id, value from events
             where event_type = 'purchase' and value > 50
+        """,
+        "events_pivot": """
+            select user_id,
+                   sum(case when event_type = 'click' then 1 else 0 end) as n_click,
+                   sum(case when event_type = 'view' then 1 else 0 end) as n_view,
+                   sum(case when event_type = 'purchase' then 1 else 0 end) as n_purchase,
+                   sum(case when event_type = 'signup' then 1 else 0 end) as n_signup
+            from events group by user_id order by user_id
         """,
         "sessionize": """
             with e as (

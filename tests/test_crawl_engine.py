@@ -279,3 +279,41 @@ class TestFrontierSpill:
         assert list(zip(got["depth"].to_pylist(), got["url"].to_pylist())) \
             == expected[:25]
         assert ray.get(shard.count.remote()) == 5
+
+
+class TestRetryIdempotency:
+    def test_round_stage_rerun_overwrites_same_sidefile(self, ray_session,
+                                                        small_web, tmp_path):
+        """Ray may retry a (synthetic-fetch) stage task: the documents
+        side-write is named by the block's first seq, so a retry OVERWRITES
+        the same file — rerunning the stage on the same batch must leave an
+        identical single file set and identical rows."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dataclasses import asdict
+
+        from spidey_ray.stages.round_stage import round_process_batch
+        from spidey_ray.state.politeness import CrawlSettings
+
+        batch = pa.table({
+            "seq": pa.array([0, 1, 2], type=pa.int64()),
+            "url": pa.array([f"https://h0.example.com/p/{i}" for i in range(3)]),
+            "depth": pa.array([1, 1, 1], type=pa.int32()),
+            "parent_url": pa.array(["", "", ""]),
+        })
+        doc_dir = str(tmp_path / "docs")
+        kwargs = dict(web_cfg=asdict(small_web),
+                      blacklist_patterns=[], settings=CrawlSettings(),
+                      doc_dir=doc_dir, base_seq=0)
+        out1 = round_process_batch(batch, **kwargs)
+        files1 = sorted(os.listdir(doc_dir))
+        rows1 = pq.read_table(os.path.join(doc_dir, files1[0])).to_pydict()
+        out2 = round_process_batch(batch, **kwargs)   # "retry"
+        files2 = sorted(os.listdir(doc_dir))
+        rows2 = pq.read_table(os.path.join(doc_dir, files2[0])).to_pydict()
+        assert files1 == files2 == ["part-000000000.parquet"]
+        assert rows1 == rows2
+        assert out1.to_pydict() == out2.to_pydict()
