@@ -89,3 +89,42 @@ class TestHttpFetcher:
         assert res.seen_hashes == o.seen_hashes
         assert res.token_counts == o.token_counts
         assert dict(res.blacklist.permanent) == dict(o.blacklist.permanent)
+
+
+class TestDirectFetcher:
+    def test_direct_get_and_http_error(self):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from spidey_ray.sources.http_fetch import make_direct_fetch_fn
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):
+                if self.path == "/missing":
+                    self.send_error(404)
+                    return
+                body = f"hello from {self.path}".encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            fetch = make_direct_fetch_fn()
+            final, status, content = fetch(base + "/page/1")
+            assert status == 200 and content == "hello from /page/1"
+            assert final == base + "/page/1"
+            _, status404, c404 = fetch(base + "/missing")
+            assert status404 == 404 and c404 == ""
+            # no server → synthetic 599, never raises
+            _, dead, _ = make_direct_fetch_fn(timeout=0.3)(
+                "http://127.0.0.1:9/x")
+            assert dead == 599
+        finally:
+            srv.shutdown()
