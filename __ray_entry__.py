@@ -955,6 +955,25 @@ def q_approx_distinct(sf_dir: str):
     })
 
 
+def q_pq_ann(sf_dir: str):
+    """Product-quantization ANN over the embeddings table (rows-only:
+    16-float vectors → 4-byte codes, ADC scan over distributed blocks)."""
+    from spidey_ray.stages.similarity import PqIndex
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = emb.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    dim = len(q0["embedding"].iloc[0])
+    idx = PqIndex(m=4 if dim % 4 == 0 else 2).build(emb)
+    hits = idx.search(np.array(q0["embedding"].iloc[0], dtype=np.float64), k=10)
+    return pa.table({
+        "rank": pa.array(range(1, len(hits) + 1), type=pa.int64()),
+        "vec_id": pa.array([h[0] for h in hits], type=pa.int64()),
+        "approx_cosine": pa.array([h[1] for h in hits], type=pa.float64()),
+    })
+
+
 def q_media_features(sf_dir: str):
     from spidey_ray.stages.multimodal import media_feature_pipeline
 
@@ -1044,6 +1063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "ivf_ann": q_ivf_ann,
+        "pq_ann": q_pq_ann,
         "approx_distinct": q_approx_distinct,
         "media_features": q_media_features,
         "media_phash_pairs": q_media_phash_pairs,

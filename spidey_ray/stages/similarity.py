@@ -92,6 +92,112 @@ def _probe_block(block: pa.Table, q: np.ndarray, k: int,
     return ids[idx], sims[idx]
 
 
+@ray.remote
+def _pq_scan_block(block: pa.Table, dist_table: np.ndarray,
+                   k: int) -> tuple[np.ndarray, np.ndarray]:
+    """ADC scan of one code block: distance = Σ_m dist_table[m, code_m]
+    (pure table lookups — the raw vectors never exist here)."""
+    if "codes" not in block.column_names or len(block) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    ids = np.asarray(block["vec_id"].to_pylist(), dtype=np.int64)
+    codes = np.array(block["codes"].to_pylist(), dtype=np.uint8)   # (n, M)
+    m = codes.shape[1]
+    dists = dist_table[np.arange(m)[None, :], codes].sum(axis=1)
+    idx = np.lexsort((ids, dists))[:k]
+    return ids[idx], dists[idx]
+
+
+class PqIndex:
+    """Product-quantization ANN (Jégou et al., PAMI'11): unit vectors split
+    into M subspaces, each encoded as one of 256 k-means codewords — a
+    D-float vector becomes M bytes (e.g. 16 floats → 4 bytes, 16×
+    compression).  Search is asymmetric distance (ADC): the query builds an
+    (M, 256) distance table once, and every corpus block is scanned with
+    pure table lookups.
+
+    Scale posture mirrors IvfIndex: code blocks stay in the object store,
+    scanned by targeted Ray tasks returning per-block top-k partials; the
+    driver holds only the codebooks (M × 256 × D/M floats) and block refs.
+    Cosine on unit vectors is served via L2 (‖a−b‖² = 2 − 2·cos)."""
+
+    def __init__(self, m: int = 4, seed: int = 42, train_iters: int = 12):
+        self.m = m
+        self.seed = seed
+        self.train_iters = train_iters
+        self.codebooks: np.ndarray | None = None     # (M, 256, dsub)
+        self._block_refs: list = []
+
+    def _train_subspace(self, x: np.ndarray, rng) -> np.ndarray:
+        k = min(256, len(x))
+        c = x[rng.choice(len(x), size=k, replace=False)]
+        for _ in range(self.train_iters):
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for j in range(len(c)):
+                members = x[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        if len(c) < 256:                      # pad so codes stay uint8-valid
+            c = np.vstack([c, np.repeat(c[-1:], 256 - len(c), axis=0)])
+        return c
+
+    def build(self, ds: "ray.data.Dataset", emb_col: str = "embedding",
+              id_col: str = "vec_id", sample_fraction: float = 0.5) -> "PqIndex":
+        sample = ds.random_sample(sample_fraction, seed=self.seed).to_pandas()
+        train = _unit(np.array(sample[emb_col].tolist(), dtype=np.float64))
+        dim = train.shape[1]
+        assert dim % self.m == 0, "dim must divide by m"
+        dsub = dim // self.m
+        rng = np.random.default_rng(self.seed)
+        self.codebooks = np.stack([
+            self._train_subspace(train[:, i * dsub:(i + 1) * dsub], rng)
+            for i in range(self.m)
+        ])
+        cb_ref = ray.put(self.codebooks)
+        m, _ = self.m, dsub
+
+        def encode(batch: pa.Table) -> pa.Table:
+            cb = ray.get(cb_ref)
+            mat = _unit(np.array(batch[emb_col].to_pylist(), dtype=np.float64))
+            codes = np.empty((len(mat), m), dtype=np.uint8)
+            for i in range(m):
+                sub = mat[:, i * dsub:(i + 1) * dsub]
+                d = ((sub[:, None, :] - cb[i][None, :, :]) ** 2).sum(axis=2)
+                codes[:, i] = d.argmin(axis=1).astype(np.uint8)
+            return pa.table({
+                "vec_id": batch[id_col],
+                "codes": pa.array([c.tolist() for c in codes],
+                                  type=pa.list_(pa.uint8())),
+            })
+
+        encoded = ds.map_batches(encode, batch_format="pyarrow").materialize()
+        self._block_refs = [
+            ref for b in encoded.iter_internal_ref_bundles()
+            for ref in b.block_refs
+        ]
+        return self
+
+    def search(self, query_vec: np.ndarray, k: int = 10) -> list[tuple[int, float]]:
+        q = _unit(np.atleast_2d(np.asarray(query_vec, dtype=np.float64)))[0]
+        dsub = self.codebooks.shape[2]
+        dist_table = np.stack([
+            ((self.codebooks[i] - q[i * dsub:(i + 1) * dsub][None, :]) ** 2
+             ).sum(axis=1)
+            for i in range(self.m)
+        ])                                             # (M, 256)
+        parts = ray.get([
+            _pq_scan_block.remote(ref, dist_table, k)
+            for ref in self._block_refs
+        ])
+        ids = np.concatenate([p[0] for p in parts])
+        dists = np.concatenate([p[1] for p in parts])
+        if len(ids) == 0:
+            return []
+        idx = np.lexsort((ids, dists))[:k]
+        # approx cosine back from L2 on unit vectors
+        return [(int(ids[i]), round(float(1 - dists[i] / 2), 4)) for i in idx]
+
+
 class IvfIndex:
     """IVF-flat index: centroids trained on a sample, vectors assigned to
     nearest centroid via map_batches.

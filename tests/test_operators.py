@@ -326,3 +326,44 @@ class TestMultimodalDeep:
         again = ray.data.from_items(rows).map_batches(
             audio_features_batch, batch_format="pyarrow").to_pandas()
         pd.testing.assert_frame_equal(out, again)
+
+
+class TestProductQuantization:
+    @pytest.fixture(scope="class")
+    def clustered_ds(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(17)
+        centers = rng.standard_normal((8, 16)) * 3
+        rows = []
+        for i in range(400):
+            c = centers[i % 8]
+            rows.append({"vec_id": i,
+                         "embedding": (c + rng.normal(0, 0.3, 16)).tolist()})
+        return ray.data.from_items(rows)
+
+    def test_recall_on_clustered_vectors(self, clustered_ds):
+        from spidey_ray.stages.similarity import PqIndex, cosine_topk
+
+        df = clustered_ds.to_pandas()
+        idx = PqIndex(m=4).build(clustered_ds)
+        hits = total = 0
+        for probe in (0, 3, 5):
+            q = np.asarray(df["embedding"].iloc[probe])
+            exact = set(cosine_topk(clustered_ds, q, k=10).to_pandas()["vec_id"])
+            ann = set(v for v, _ in idx.search(q, k=10))
+            hits += len(exact & ann)
+            total += 10
+        assert hits / total >= 0.7    # 16-float → 4-byte codes, same cluster
+
+    def test_compression_and_driver_state(self, clustered_ds):
+        from spidey_ray.stages.similarity import PqIndex
+
+        idx = PqIndex(m=4).build(clustered_ds)
+        # driver holds ONLY codebooks (M,256,dsub) + block refs
+        assert idx.codebooks.shape == (4, 256, 4)
+        assert not hasattr(idx, "buckets")
+        q = np.asarray(clustered_ds.to_pandas()["embedding"].iloc[0])
+        out = idx.search(q, k=5)
+        assert len(out) == 5
+        assert all(-1.0 <= c <= 1.0001 for _, c in out)
