@@ -296,6 +296,93 @@ def resolve_duplicates(pairs_df: pd.DataFrame) -> dict[int, int]:
     return {x: find(x) for x in list(parent)}
 
 
+def connected_components(pairs: "ray.data.Dataset",
+                         max_iters: int = 25) -> "ray.data.Dataset":
+    """Distributed connected components over (doc_a, doc_b) edges →
+    (node, label) with label = component min id.
+
+    Min-label propagation: each round joins the (bidirectional) edge list
+    with the current labels and takes the per-node min — labels only ever
+    decrease, so an unchanged label SUM is a fixpoint proof.  Duplicate
+    clusters are stars/cliques (tiny diameter), so this converges in a few
+    rounds; every step is a hash-partitioned join + groupby, nothing
+    driver-resident."""
+    import pyarrow.compute as _pc
+
+    from .joins import hash_join
+
+    def bidir(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"node": t["doc_a"], "nbr": t["doc_b"]}),
+            pa.table({"node": t["doc_b"], "nbr": t["doc_a"]}),
+        ])
+
+    edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+        bidir, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"],
+                         "label": _pc.cast(t["node"], pa.int64())})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node").min("label")
+        .map_batches(lambda t: t.rename_columns(["node", "label"]),
+                     batch_format="pyarrow")
+    ).materialize()
+
+    def _label_sum(ls) -> int:
+        out = ls.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [_pc.sum(t["label"]).as_py() or 0], type=pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        return int(out["s"].sum())
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iters):
+        # 1. neighbor min: pull each neighbor's current label
+        msgs = hash_join(
+            edges,
+            labels.map_batches(
+                lambda t: t.rename_columns(["nbr", "label"]),
+                batch_format="pyarrow"),
+            on="nbr", num_buckets=16,
+        ).map_batches(lambda t: t.select(["node", "label"]),
+                      batch_format="pyarrow")
+        labels = (
+            msgs.union(labels)
+            .groupby("node").min("label")
+            .map_batches(lambda t: t.rename_columns(["node", "label"]),
+                         batch_format="pyarrow")
+        ).materialize()
+        # 2. pointer jump (label ← label-of-label): collapses chains in
+        #    O(log n) rounds instead of O(diameter)
+        jumped = hash_join(
+            labels,
+            labels.map_batches(
+                lambda t: t.rename_columns(["label", "label2"]),
+                batch_format="pyarrow"),
+            on="label", how="left", num_buckets=16,
+        ).map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["node"],
+                "label": np.minimum(
+                    df["label"].to_numpy(),
+                    df["label2"].fillna(df["label"]).to_numpy()).astype("int64"),
+            }),
+            batch_format="pandas")
+        labels = (
+            jumped.groupby("node").min("label")
+            .map_batches(lambda t: t.rename_columns(["node", "label"]),
+                         batch_format="pyarrow")
+        ).materialize()
+        cur = _label_sum(labels)
+        if cur == prev_sum:       # labels only decrease → fixpoint
+            break
+        prev_sum = cur
+    return labels
+
+
 # above this many dropped ids, filter by streaming anti-join instead of a
 # broadcast id array (8 B/id: 2M ids ≈ 16 MB — comfortably broadcastable;
 # a corpus-scale drop set is not)
@@ -305,15 +392,32 @@ _DROP_BROADCAST_LIMIT = 2_000_000
 def minhash_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
                   text_col: str = "text",
                   broadcast_limit: int = _DROP_BROADCAST_LIMIT,
+                  cc_driver_limit: int = 5_000_000,
                   ) -> "ray.data.Dataset":
     """Corpus minus minhash-LSH near-duplicates (component min-id survives).
 
-    Label resolution: verified pairs stream to the driver in chunks
-    (``iter_batches``) — union-find state is O(docs-appearing-in-pairs),
-    which is ≪ corpus.  The survivor filter broadcasts a plain id array
-    while it is small and switches to the streaming anti-join
-    (stages/joins.py) when the drop set is corpus-sized."""
-    pairs = minhash_lsh_pairs(ds, threshold, text_col=text_col)
+    Label resolution: under ``cc_driver_limit`` pairs, verified pairs
+    stream to the driver in chunks (union-find state is
+    O(docs-appearing-in-pairs) ≪ corpus); beyond it, the fully distributed
+    min-label propagation (:func:`connected_components`) runs — nothing
+    pair- or label-sized touches the driver.  The survivor filter
+    broadcasts a plain id array while small and switches to the streaming
+    anti-join when the drop set is corpus-sized."""
+    pairs = minhash_lsh_pairs(ds, threshold, text_col=text_col).materialize()
+
+    if pairs.count() > cc_driver_limit:
+        from .joins import anti_join
+
+        import pyarrow.compute as _pc
+
+        labels = connected_components(pairs)
+
+        def _drops(t: pa.Table) -> pa.Table:
+            keep = t.filter(_pc.invert(_pc.equal(t["node"], t["label"])))
+            return pa.table({"doc_id": keep["node"]})
+
+        drop_ds = labels.map_batches(_drops, batch_format="pyarrow")
+        return anti_join(ds, drop_ds, on="doc_id")
 
     parent: dict[int, int] = {}
 

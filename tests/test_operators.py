@@ -367,3 +367,50 @@ class TestProductQuantization:
         out = idx.search(q, k=5)
         assert len(out) == 5
         assert all(-1.0 <= c <= 1.0001 for _, c in out)
+
+
+class TestConnectedComponents:
+    def test_components_and_chain_match_union_find(self, ray_session):
+        """Star/clique components plus a 9-node chain (multiple pointer-jump
+        rounds) in ONE graph — labels must equal the union-find resolution."""
+        import ray.data
+
+        from spidey_ray.stages.dedup import (
+            connected_components, resolve_duplicates)
+
+        chain_a = list(range(100, 104))
+        chain_b = list(range(101, 105))
+        edges = pd.DataFrame({
+            "doc_a": [1, 2, 7, 12, 13, 40] + chain_a,
+            "doc_b": [2, 3, 9, 13, 14, 41] + chain_b,
+        })
+        labels = connected_components(
+            ray.data.from_pandas(edges)).to_pandas()
+        got = dict(zip(labels["node"].astype(int), labels["label"].astype(int)))
+        uf = resolve_duplicates(edges)
+        for node, rep in uf.items():
+            assert got[node] == rep, node
+        assert all(got[n] == 100 for n in range(100, 105))
+
+    def test_minhash_dedup_cc_path_identical(self, ray_session):
+        """cc_driver_limit=0 forces the distributed label-propagation path —
+        survivors must equal the driver union-find path (tiny corpus: the
+        per-iteration join cost dominates at test scale)."""
+        import ray.data
+
+        from spidey_ray.stages.dedup import minhash_dedup
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon")
+        rows = [
+            {"doc_id": 0, "text": base + " zero"},
+            {"doc_id": 1, "text": base + " zero"},        # dup of 0
+            {"doc_id": 2, "text": "totally different words here only"},
+            {"doc_id": 3, "text": base + " zero extra"},  # near-dup of 0
+        ]
+        tiny = ray.data.from_items(rows)
+        a = set(minhash_dedup(tiny, threshold=0.7).to_pandas()["doc_id"])
+        b = set(minhash_dedup(tiny, threshold=0.7,
+                              cc_driver_limit=0).to_pandas()["doc_id"])
+        assert a == b
+        assert 0 in a and 1 not in a
