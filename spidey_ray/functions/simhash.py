@@ -36,13 +36,21 @@ _SIGN_MATRIX: np.ndarray = np.empty((1024, 64), dtype=np.int8)
 _SIGN_CACHE_MAX = 1 << 20
 
 
+def _maybe_reset_sign_cache() -> None:
+    """Evict the cache ONLY between documents.  A reset inside the
+    ``simhash64`` gather loop would swap ``_SIGN_MATRIX`` out from under
+    indices already collected against the old matrix (growth is safe — it
+    copies existing rows — eviction is not)."""
+    global _SIGN_MATRIX
+    if len(_SIGN_INDEX) >= _SIGN_CACHE_MAX:
+        _SIGN_INDEX.clear()
+        _SIGN_MATRIX = np.empty((1024, 64), dtype=np.int8)
+
+
 def _sign_index(token: str) -> int:
     idx = _SIGN_INDEX.get(token)
     if idx is None:
         global _SIGN_MATRIX
-        if len(_SIGN_INDEX) >= _SIGN_CACHE_MAX:
-            _SIGN_INDEX.clear()
-            _SIGN_MATRIX = np.empty((1024, 64), dtype=np.int8)
         idx = len(_SIGN_INDEX)
         if idx >= len(_SIGN_MATRIX):
             grown = np.empty((len(_SIGN_MATRIX) * 2, 64), dtype=np.int8)
@@ -61,6 +69,7 @@ def simhash64(freq: dict[str, int]) -> int:
     vector_j = Σ count·(+1 if bit_j else -1); one matmul over gathered rows."""
     if not freq:
         return 0
+    _maybe_reset_sign_cache()
     idx = np.fromiter((_sign_index(t) for t in freq), dtype=np.int64,
                       count=len(freq))
     counts = np.fromiter(freq.values(), dtype=np.int64, count=len(freq))

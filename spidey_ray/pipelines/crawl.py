@@ -707,7 +707,19 @@ class CrawlEngine:
         self.settings = settings or CrawlSettings()
         self.ckpt_dir = ckpt_dir
         self.n_seen_shards = kwargs.get("n_seen_shards", 4)
-        self.n_host_shards = kwargs.get("n_host_shards", 2)
+        # Shard count is a property of the CHECKPOINT, not of this call:
+        # the frontier and politeness pools must agree on hash(host)%N or
+        # per-host rows route to shards that don't own that host's state.
+        # Derive N from the on-disk host_shard*.json count and refuse a
+        # conflicting explicit kwarg instead of silently using both.
+        n_disk = len([f for f in os.listdir(rd)
+                      if f.startswith("host_shard") and f.endswith(".json")])
+        n_kw = kwargs.get("n_host_shards")
+        if n_disk and n_kw is not None and n_kw != n_disk:
+            raise ValueError(
+                f"n_host_shards={n_kw} conflicts with checkpoint at {rd} "
+                f"({n_disk} host_shard*.json files); omit the kwarg on resume")
+        self.n_host_shards = n_disk or n_kw or 2
         self.fetch_concurrency = kwargs.get("fetch_concurrency", 4)
         self.fetch_batch_size = kwargs.get("fetch_batch_size", 16)
         self.seen_buckets = kwargs.get("seen_buckets", 1 << 14)
@@ -769,7 +781,7 @@ class CrawlEngine:
             os.path.join(rd, f) for f in os.listdir(rd)
             if f.startswith("host_shard") and f.endswith(".json")
         )
-        self.n_host_shards = len(snap_paths) or self.n_host_shards
+        assert not snap_paths or len(snap_paths) == self.n_host_shards
         self.host_shards = [
             HostShard.remote(
                 self.settings, self.fetch_module, self.fetch_name,

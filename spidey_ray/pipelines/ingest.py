@@ -129,10 +129,19 @@ def read_tar_parts(parts_glob: str, rows_per_block: int = 512) -> "ray.data.Data
     :func:`read_tar_shards`, which opens shards concurrently."""
     import glob as _glob
 
+    import ray
     import ray.data
 
+    _empty = pa.Table.from_pydict(
+        {"url": [], "content": [], "encoding": [], "crawl_seq": []},
+        schema=PAGES_SCHEMA)
     paths = sorted(_glob.glob(parts_glob))
-    tables, cols = [], {n: [] for n in ("url", "content", "encoding")}
+    if not paths:                       # zero-byte stream would ReadError
+        return ray.data.from_arrow([_empty])
+    # Each filled block goes straight into the OBJECT STORE (ray.put) so
+    # driver heap stays O(rows_per_block) — the store spills to disk if the
+    # archive outsizes memory; only the refs list grows on the driver.
+    refs, cols = [], {n: [] for n in ("url", "content", "encoding")}
     seq = 0
     for data in iter_tar_pages(paths):
         url, content, encoding = _page_row(data)
@@ -142,16 +151,14 @@ def read_tar_parts(parts_glob: str, rows_per_block: int = 512) -> "ray.data.Data
         seq += 1
         if len(cols["url"]) >= rows_per_block:
             cols["crawl_seq"] = list(range(seq - len(cols["url"]), seq))
-            tables.append(pa.Table.from_pydict(cols, schema=PAGES_SCHEMA))
+            refs.append(ray.put(pa.Table.from_pydict(cols, schema=PAGES_SCHEMA)))
             cols = {n: [] for n in ("url", "content", "encoding")}
     if cols["url"]:
         cols["crawl_seq"] = list(range(seq - len(cols["url"]), seq))
-        tables.append(pa.Table.from_pydict(cols, schema=PAGES_SCHEMA))
-    if not tables:
-        tables = [pa.Table.from_pydict(
-            {"url": [], "content": [], "encoding": [], "crawl_seq": []},
-            schema=PAGES_SCHEMA)]
-    return ray.data.from_arrow(tables)
+        refs.append(ray.put(pa.Table.from_pydict(cols, schema=PAGES_SCHEMA)))
+    if not refs:
+        return ray.data.from_arrow([_empty])
+    return ray.data.from_arrow_refs(refs)
 
 
 def read_tar_shards(shards_glob: str) -> "ray.data.Dataset":

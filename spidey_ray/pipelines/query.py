@@ -276,16 +276,26 @@ class PartitionedQueryIndex(QueryIndex):
             )
             t = self._postings.to_table(
                 filter=flt, columns=["stem", "doc_id", "positions", "tfidf"])
-            if len(self._stem_cache) + len(missing) > self._stem_cache_size:
-                self._stem_cache.clear()
             loaded: dict[str, list] = {s: [] for s in missing}
             for stem, doc_id, positions, tfidf in zip(
                 t["stem"].to_pylist(), t["doc_id"].to_pylist(),
                 t["positions"].to_pylist(), t["tfidf"].to_pylist(),
             ):
                 loaded[stem].append([doc_id, positions, tfidf])
-            for s, plist in loaded.items():
-                self._stem_cache[(s, use_bigram)] = plist
+            # Resolve EVERY stem this query needs before any eviction —
+            # clearing first would drop already-cached stems of the
+            # in-flight query and KeyError below (advice: cache overflow
+            # must not evict entries the current query still needs).
+            needed = {
+                (s, use_bigram): (
+                    loaded[s] if s in loaded
+                    else self._stem_cache[(s, use_bigram)]
+                )
+                for s in set(stems)
+            }
+            if len(self._stem_cache) + len(missing) > self._stem_cache_size:
+                self._stem_cache.clear()
+            self._stem_cache.update(needed)
         return {s: self._stem_cache[(s, use_bigram)] for s in stems}
 
     def _prefetch_docs(self, doc_ids: list[int]) -> None:
@@ -297,13 +307,19 @@ class PartitionedQueryIndex(QueryIndex):
         t = self._meta.to_table(
             filter=pads.field("doc_id").isin(missing),
             columns=["doc_id", "title", "url", "n_tokens"])
-        if len(self._doc_cache) + len(missing) > self._doc_cache_size:
-            self._doc_cache.clear()
+        # Snapshot everything the in-flight query needs (already-cached ids
+        # included) BEFORE evicting, so the clear can't drop entries that
+        # _doc_len/_doc_title_url will read right after this prefetch.
+        needed = {int(d): self._doc_cache[int(d)]
+                  for d in doc_ids if int(d) in self._doc_cache}
         for d, title, url, n in zip(
             t["doc_id"].to_pylist(), t["title"].to_pylist(),
             t["url"].to_pylist(), t["n_tokens"].to_pylist(),
         ):
-            self._doc_cache[int(d)] = (title, url, int(n))
+            needed[int(d)] = (title, url, int(n))
+        if len(self._doc_cache) + len(missing) > self._doc_cache_size:
+            self._doc_cache.clear()
+        self._doc_cache.update(needed)
 
     def _doc_len(self, doc_id: int) -> int:
         return self._doc_cache[int(doc_id)][2]

@@ -213,7 +213,32 @@ def join(
 
     import ray as _ray  # noqa: F401  (ray.get in workers)
 
-    return left.map_batches(merge, batch_format="pandas")
+    # Same guard as hash_join: one zero-row TYPED block is always present so
+    # an all-empty broadcast result keeps its columns through to_pandas —
+    # without it the two strategies this front door switches between return
+    # differently-shaped outputs for the same (empty-result) inputs.
+    # left may be pandas-blocked (base_schema a PandasBlockSchema namedtuple
+    # whose types are numpy dtypes / python classes, not Arrow types)
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, ValueError, pa.ArrowNotImplementedError):
+            return pa.string()      # object dtype: strings in practice
+
+    _ls = left.schema()
+    l_fields = [(n, _pa_type(t)) for n, t in zip(_ls.names, _ls.types)]
+    r_schema = pa.Schema.from_pandas(rdf, preserve_index=False)
+    l_names = {n for n, _ in l_fields}
+    out_fields = list(l_fields)
+    if how not in ("semi", "anti"):
+        out_fields += [(c, r_schema.field(c).type) for c in rdf.columns
+                       if c not in on_l and c not in l_names]
+    empty_block = pa.schema(out_fields).empty_table()
+
+    return left.map_batches(merge, batch_format="pandas").union(
+        ray.data.from_arrow(empty_block))
 
 
 def salted_join(

@@ -160,6 +160,25 @@ class TestResume:
         assert set(got) == set(oracle.documents)
         shutil.rmtree(ckpt, ignore_errors=True)
 
+    def test_resume_derives_shard_count_from_checkpoint(self, ray_session,
+                                                        small_web, tmp_path):
+        """A checkpoint written with a NON-default n_host_shards must resume
+        correctly without re-passing the kwarg (pre-fix: the frontier was
+        restored with the default shard count while the politeness pool used
+        the on-disk count — hash(host)%N disagreement, silent divergence) —
+        and a CONFLICTING explicit kwarg must be rejected, not half-used."""
+        from spidey_ray.pipelines.crawl import CrawlEngine
+        from spidey_ray.pipelines.oracle import crawl_serial
+
+        ckpt = str(tmp_path / "ckpt3")
+        CrawlEngine(small_web, ckpt_dir=ckpt,
+                    n_host_shards=3).run(stop_after_round=2)
+        with pytest.raises(ValueError, match="n_host_shards"):
+            CrawlEngine.resume(ckpt, small_web, n_host_shards=2)
+        resumed = CrawlEngine.resume(ckpt, small_web).run()
+        assert resumed.fetch_log == crawl_serial(small_web).fetch_log
+        shutil.rmtree(ckpt, ignore_errors=True)
+
 
 class TestCuckoo:
     def test_seen_or_add_first_seen_wins(self):

@@ -166,3 +166,20 @@ class TestPartitionedServing:
         # cache warm: second pass hits no disk misses and stays identical
         for q in ("home page", "page"):
             assert qi.query(q)[0] == pqi.query(q)[0]
+
+    def test_cache_overflow_mid_query(self, ray_session, ray_index):
+        """Eviction at capacity must never drop entries the IN-FLIGHT query
+        needs: with caches of size ~1 every multi-stem query overflows while
+        some of its stems/docs are already cached (pre-fix: KeyError in
+        _doc_info_retrieve / _doc_len once capacity is exceeded)."""
+        from spidey_ray.pipelines.query import PartitionedQueryIndex, QueryIndex
+
+        res, meta, post = ray_index
+        qi = QueryIndex(post, meta, res.num_documents)
+        pqi = PartitionedQueryIndex(res.postings_path, res.doc_meta_path,
+                                    res.num_documents,
+                                    stem_cache_size=1, doc_cache_size=1)
+        for q in ("home", "home page", "page listing home", "home page",
+                  "listing", "home"):
+            assert qi.query(q)[0] == pqi.query(q)[0], q
+            assert qi.results_with_info(q) == pqi.results_with_info(q), q

@@ -144,6 +144,29 @@ class TestSimhash:
         assert not sh.footprints_similar(h, 100, h, 100, 1.0, 0.5)  # 1.0 not > 1.0
         assert sh.footprints_similar(h, 100, h, 100, 0.99, 0.99)
 
+    def test_cache_eviction_never_corrupts_a_document(self, monkeypatch):
+        """Eviction must happen BETWEEN documents, never mid-gather: with a
+        tiny cache cap, hashes straddling many evictions must equal the
+        fresh-cache hashes (pre-fix: a reset inside simhash64's fromiter
+        loop left stale indices into a replaced matrix → garbage bits or
+        IndexError)."""
+        docs = [{f"tok{d}_{i}": i + 1 for i in range(7)} for d in range(40)]
+
+        def fresh_hashes():
+            sh._SIGN_INDEX.clear()
+            sh._SIGN_MATRIX = np.empty((1024, 64), dtype=np.int8)
+            return [sh.simhash64(d) for d in docs]
+
+        expected = fresh_hashes()
+        monkeypatch.setattr(sh, "_SIGN_CACHE_MAX", 5)  # < one doc's vocab
+        assert fresh_hashes() == expected
+        monkeypatch.setattr(sh, "_SIGN_CACHE_MAX", 16)
+        assert fresh_hashes() == expected
+        # restore a sane cache for the rest of the session
+        monkeypatch.undo()
+        sh._SIGN_INDEX.clear()
+        sh._SIGN_MATRIX = np.empty((1024, 64), dtype=np.int8)
+
 
 class TestRobots:
     def test_allow_over_disallow(self):

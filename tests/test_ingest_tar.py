@@ -63,6 +63,16 @@ class TestTarParts:
         assert df["url"].iloc[5] == pages[5]["url"]
         assert "page 5 body" in df["content"].iloc[5]
 
+    def test_empty_glob_returns_empty_dataset(self, ray_session, tmp_path):
+        """No matching parts → empty typed dataset, not tarfile.ReadError
+        on a zero-byte stream."""
+        from spidey_ray.pipelines.ingest import read_tar_parts
+
+        ds = read_tar_parts(str(tmp_path / "nothing-here-part*"))
+        assert ds.count() == 0
+        assert sorted(ds.schema().names) == [
+            "content", "crawl_seq", "encoding", "url"]
+
     def test_parts_into_filter_index(self, ray_session, tmp_path):
         """parts → pages → documents → run_filter_index: the full switchover
         path for a user with the reference's data.tar.gz-part* archives."""

@@ -109,6 +109,27 @@ class TestJoinFrontDoor:
             key = lambda df: sorted(map(tuple, df[cols].astype(str).values))  # noqa: E731
             assert key(bc) == key(sh), how
 
+    def test_strategies_agree_on_empty_result_columns(self, ray_session):
+        """Both strategies must expose the SAME typed schema when the join
+        result is empty (pre-fix: the broadcast path had no zero-row typed
+        block, so its empty output carried no column information at all;
+        note this Ray version's to_pandas drops columns on ANY zero-row
+        dataset, so the dataset-level schema IS the contract)."""
+        import pandas as pd
+        import ray
+        from spidey_ray.stages.joins import join
+
+        l_df = pd.DataFrame({"k": [1, 2, 3], "a": ["x", "y", "z"]})
+        r_df = pd.DataFrame({"k": [9, 10], "b": [1.5, 2.5]})  # no overlap
+        l_ds = ray.data.from_pandas(l_df)
+        r_ds = ray.data.from_pandas(r_df)
+        for how, want in (("inner", ["k", "a", "b"]), ("semi", ["k", "a"])):
+            bc = join(l_ds, r_ds, on="k", how=how, broadcast_limit=10**6)
+            shf = join(l_ds, r_ds, on="k", how=how, broadcast_limit=0)
+            assert bc.count() == 0 and shf.count() == 0, how
+            assert sorted(bc.schema().names) == sorted(want), how
+            assert sorted(shf.schema().names) == sorted(want), how
+
 
 class TestHyperLogLog:
     def test_accuracy_within_two_percent(self, ray_session):
