@@ -1207,10 +1207,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_pivot": """
             select user_id,
-                   sum(case when event_type = 'click' then 1 else 0 end) as n_click,
-                   sum(case when event_type = 'view' then 1 else 0 end) as n_view,
-                   sum(case when event_type = 'purchase' then 1 else 0 end) as n_purchase,
-                   sum(case when event_type = 'signup' then 1 else 0 end) as n_signup
+                   cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as n_click,
+                   cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) as n_view,
+                   cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as n_purchase,
+                   cast(sum(case when event_type = 'signup' then 1 else 0 end) as bigint) as n_signup
             from events group by user_id order by user_id
         """,
         "sessionize": """
@@ -1224,8 +1224,9 @@ def oracle_sql() -> dict[str, str]:
                 from e window w as (partition by user_id order by us)
             ), s as (
                 select user_id, us,
-                       sum(brk) over (partition by user_id order by us
-                                      rows unbounded preceding) as session_id
+                       cast(sum(brk) over (partition by user_id order by us
+                                           rows unbounded preceding)
+                            as bigint) as session_id
                 from b
             )
             select user_id, session_id, min(us) as session_start_us,

@@ -64,7 +64,8 @@ def cosine_topk(ds: "ray.data.Dataset", query_vecs: np.ndarray, k: int = 10,
         "query_idx": pa.array(rows["query_idx"], type=pa.int32()),
         "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
         "cosine": pa.array(rows["cosine"], type=pa.float64()),
-        "rank": pa.array(rows["rank"], type=pa.int32()),
+        # int64 to match SQL row_number() (the driver hash is dtype-aware)
+        "rank": pa.array(rows["rank"], type=pa.int64()),
     })
 
 

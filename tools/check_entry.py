@@ -87,8 +87,12 @@ def main():
         ok_vals = False
         if ok_rows and ok_cols:
             try:
+                # check_dtype=True: the driver's value hash is
+                # dtype-sensitive (DuckDB HUGEINT→float64 vs engine int64
+                # hashed differently on identical values) — the local gate
+                # must catch what the driver hash catches
                 pd.testing.assert_frame_equal(
-                    got, exp, check_dtype=False, check_exact=True)
+                    got, exp, check_dtype=True, check_exact=True)
                 ok_vals = True
             except AssertionError as e:
                 ok_vals = False
