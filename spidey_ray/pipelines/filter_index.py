@@ -24,6 +24,8 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -166,13 +168,28 @@ def run_filter_index(
         filter_prepare_batch, fn_kwargs={"bucket_size": bucket_size},
         batch_format="pyarrow",
     )
+    # exact dedup first-crawl-wins, fat-bucketed: grouping on the raw
+    # doc_id URL would make one near-singleton group per document over the
+    # whole corpus (the sort-shuffle slow path) — instead hash(doc_id)%256
+    # is the shuffle key and min-crawl_seq per doc_id is a vectorized
+    # idxmin inside each bucket (idxmin = stable-sort head(1): first
+    # occurrence of the minimum wins ties, same as before)
+    def _docid_bucket(t: pa.Table, num_buckets: int = 256) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t["doc_id"].to_pandas(), index=False,
+            hash_key="spidey-fidx-0000", categorize=False)
+        return t.append_column(
+            "_db", pa.array((h % num_buckets).astype(np.int32).to_numpy()))
+
+    def _first_crawl_wins(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.loc[g.groupby("doc_id")["crawl_seq"].idxmin()]
+        return keep.drop(columns=["_db"])
+
     survivors = (
         feats
-        .groupby("doc_id")
-        .map_groups(
-            lambda g: g.sort_values("crawl_seq", kind="mergesort").head(1),
-            batch_format="pandas",
-        )
+        .map_batches(_docid_bucket, batch_format="pyarrow")
+        .groupby("_db")
+        .map_groups(_first_crawl_wins, batch_format="pandas")
         .groupby("len_bucket")
         .map_groups(
             lambda g: near_dup_group(g, dup_threshold), batch_format="pandas",

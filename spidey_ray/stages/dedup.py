@@ -29,9 +29,21 @@ from .textstats import tokens_of
 # ---------------------------------------------------------------------------
 
 
-def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch[text_col].to_pylist()]
-    return batch.append_column("content_hash", pa.array(h, type=pa.string()))
+def content_hash_batch(batch: pa.Table, text_col: str = "text",
+                       num_buckets: int | None = None) -> pa.Table:
+    """md5 content hash per row; with ``num_buckets`` also a ``_bucket``
+    column (the hash's first 16 bits mod buckets — computed here, in the
+    same pass, rather than re-parsing hex in a second Python loop)."""
+    hs, bs = [], []
+    for t in batch[text_col].to_pylist():
+        d = hashlib.md5(t.encode("utf-8")).digest()
+        hs.append(d.hex())
+        if num_buckets is not None:
+            bs.append(int.from_bytes(d[:2], "big") % num_buckets)
+    out = batch.append_column("content_hash", pa.array(hs, type=pa.string()))
+    if num_buckets is not None:
+        out = out.append_column("_bucket", pa.array(bs, type=pa.int32()))
+    return out
 
 
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
@@ -45,23 +57,15 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     folded into ``num_buckets`` fat buckets (one shuffle key), and min-id
     per hash is a vectorized idxmin inside each bucket."""
 
-    def bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        h = t["content_hash"]
-        # first 4 hex chars → int, mod buckets (content_hash is uniform)
-        b = [int(x[:4], 16) % num_buckets for x in h.to_pylist()]
-        del pc
-        return t.append_column("_bucket", pa.array(b, type=pa.int32()))
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         keep = g.loc[g.groupby("content_hash")[id_col].idxmin()]
         return keep.drop(columns=["_bucket"])
 
     return (
-        ds.map_batches(content_hash_batch, fn_kwargs={"text_col": text_col},
+        ds.map_batches(content_hash_batch,
+                       fn_kwargs={"text_col": text_col,
+                                  "num_buckets": num_buckets},
                        batch_format="pyarrow")
-        .map_batches(bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
@@ -162,15 +166,65 @@ def _explode_bands(batch: pa.Table) -> pa.Table:
     })
 
 
-def _bucket_pairs_ids(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (ids only; verified later)."""
-    ids = sorted(set(g["doc_id"].tolist()))
-    a_out, b_out = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-    return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
+# LSH buckets above this size switch from all-pairs to an anchor star —
+# one degenerate band hash (empty/boilerplate/identical docs) must not
+# become an O(n²) straggler task
+_MAX_PAIR_BUCKET = 512
+
+
+def _bucket_pairs_ids(g: pd.DataFrame,
+                      max_bucket: int = _MAX_PAIR_BUCKET) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket (ids only; verified later).
+
+    Oversized buckets (> ``max_bucket`` distinct ids) are overwhelmingly
+    degenerate — near-identical or empty documents sharing one band hash.
+    For those, emit the STAR around the min id (n-1 pairs) instead of all
+    n(n-2)/2: members of a truly-duplicate cluster all verify against the
+    anchor, so the connected component (and hence the dedup survivor set)
+    is preserved, while a mixed oversized bucket loses only
+    anchor-dissimilar pairings that its other, non-degenerate band buckets
+    still propose.  Bounded output, no quadratic straggler."""
+    ids = np.asarray(sorted(set(g["doc_id"].tolist())), dtype=np.int64)
+    n = len(ids)
+    if n > max_bucket:
+        return pd.DataFrame({"doc_a": np.full(n - 1, ids[0]),
+                             "doc_b": ids[1:]})
+    # vectorized upper-triangle expansion (no Python pair loop)
+    i, j = np.triu_indices(n, k=1)
+    return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
+
+
+def _pair_bucket_col(t: pa.Table, num_buckets: int) -> pa.Table:
+    """Deterministic fat-bucket key over the (doc_a, doc_b) pair."""
+    a = np.asarray(t["doc_a"].to_pylist(), dtype=np.uint64)
+    b = np.asarray(t["doc_b"].to_pylist(), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b + np.uint64(0x165667B1))
+    return t.append_column(
+        "_pb", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+
+def dedup_pairs(pairs: "ray.data.Dataset",
+                num_buckets: int = 64) -> "ray.data.Dataset":
+    """Drop duplicate (doc_a, doc_b) rows (the same pair proposed by several
+    LSH bands) — fat-bucketed on a pair hash.  A raw
+    ``groupby(["doc_a","doc_b"])`` makes one near-singleton group per pair
+    (millions at corpus scale, the sort-shuffle slow path); here the shuffle
+    key is ``hash(pair) % num_buckets`` and the dedup is a vectorized
+    ``drop_duplicates`` inside each fat bucket.  Duplicate rows are
+    identical in every column (same pair ⇒ same attrs), so first-wins is
+    deterministic."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["_pb"])
+
+    return (
+        pairs.map_batches(_pair_bucket_col,
+                          fn_kwargs={"num_buckets": num_buckets},
+                          batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def attach_pair_attrs_adaptive(
@@ -243,13 +297,11 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
     ).materialize()          # distributed (object store), reused 3×
     n_docs = sigs.count()
 
-    cand = (
+    cand = dedup_pairs(            # same pair from several bands
         sigs.select_columns(["doc_id", "band_hashes"])
         .map_batches(_explode_bands, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(_bucket_pairs_ids, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])          # same pair from several bands
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
     if n_docs > verify_broadcast_limit:
         cand = cand.materialize()   # reused by both join passes
@@ -499,6 +551,14 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
         g = g.sort_values("doc_id").drop_duplicates("doc_id")
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) > _MAX_PAIR_BUCKET:
+            # degenerate chunk bucket: star around the min id (see
+            # _bucket_pairs_ids) — hamming still filters non-dups
+            d = hamming_popcount(hs[0] ^ hs[1:])
+            hits = np.nonzero(d <= max_hamming)[0]
+            return pd.DataFrame({"doc_a": np.full(len(hits), int(ids[0])),
+                                 "doc_b": ids[1 + hits],
+                                 "hamming": d[hits]})
         a_out, b_out, d_out = [], [], []
         for i in range(len(ids)):
             d = hamming_popcount(hs[i] ^ hs[i + 1:])
@@ -511,8 +571,7 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
 
     pairs = sigs.map_batches(explode, batch_format="pyarrow") \
         .groupby(["band", "chunk"]).map_groups(bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return dedup_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -567,13 +626,11 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
     sigs = ds.map_batches(sig_batch, batch_format="pyarrow").materialize()
     n_docs = sigs.count()
 
-    cand = (
+    cand = dedup_pairs(
         sigs.select_columns(["doc_id", "band_hashes"])
         .map_batches(_explode_bands, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(_bucket_pairs_ids, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
     if n_docs > verify_broadcast_limit:
         cand = cand.materialize()
@@ -657,13 +714,11 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
     sigs = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
     n_docs = sigs.count()
 
-    cand = (
+    cand = dedup_pairs(
         sigs.select_columns(["doc_id", "buckets"])
         .map_batches(explode, batch_format="pyarrow")
         .groupby(["table_i", "bucket"])
         .map_groups(_bucket_pairs_ids, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
     if n_docs > verify_broadcast_limit:
         cand = cand.materialize()

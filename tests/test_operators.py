@@ -89,6 +89,41 @@ class TestMinHash:
         assert labels[3] == 1 and labels[2] == 1
         assert labels[9] == 7
 
+    def test_dedup_pairs_matches_raw_groupby(self, ray_session):
+        """Fat-bucketed pair dedup == one-group-per-pair dedup."""
+        import ray.data
+
+        from spidey_ray.stages.dedup import dedup_pairs
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "doc_a": rng.integers(0, 40, 500).astype("int64"),
+            "doc_b": rng.integers(40, 80, 500).astype("int64"),
+        })
+        got = dedup_pairs(ray.data.from_pandas(df)).to_pandas()
+        exp = df.drop_duplicates(["doc_a", "doc_b"])
+        key = lambda d: sorted(map(tuple, d[["doc_a", "doc_b"]].values))  # noqa: E731
+        assert key(got) == key(exp)
+
+    def test_thousand_identical_docs_bounded(self, ray_session):
+        """A degenerate corpus (1,000 identical docs sharing every LSH band
+        bucket) must complete quickly via the oversized-bucket star path —
+        not the O(n²) all-pairs loop — with the same survivor set (min id
+        only)."""
+        import time
+
+        import ray.data
+
+        from spidey_ray.stages.dedup import minhash_dedup
+
+        rows = [{"doc_id": i, "text": "exactly the same document body " * 20}
+                for i in range(1000)]
+        t0 = time.time()
+        kept = set(minhash_dedup(ray.data.from_items(rows),
+                                 threshold=0.8).to_pandas()["doc_id"])
+        assert kept == {0}
+        assert time.time() - t0 < 120   # pre-cap: ~8M pairs per band, stalls
+
 
 class TestSimhashPairs:
     def test_identical_docs_pair(self, docs_ds):
