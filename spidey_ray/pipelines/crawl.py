@@ -53,7 +53,6 @@ from __future__ import annotations
 import json
 import os
 import re
-from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -89,24 +88,125 @@ def _quiet_data_context():
         pass
 
 
-@dataclass
 class EngineResult:
-    fetch_log: list[str]
-    frontier: pd.DataFrame
-    gate: GateState
-    blacklist: BlacklistState
-    host_snapshots: dict[str, dict]
-    token_counts: dict[str, int]
-    longest: list[tuple[int, str]]
-    rounds: int
-    documents_path: str | None
-    excluded_doc_ids: set[str] = field(default_factory=set)
+    """Crawl result handle — construction is O(1) in corpus size.
+
+    ``run()`` must be able to return even when the fetch history is
+    10^10 rows, so nothing corpus-sized is assembled here: the fetch log,
+    frontier frame, token counts and exclusion set are LAZY cached
+    properties that materialize on first access (a test / small-run
+    convenience).  Production consumers use :meth:`fetch_log_dataset`,
+    :meth:`documents_dataset` and :meth:`top_tokens` (distributed over the
+    checkpointed per-round logs; only k rows reach the driver) and never
+    touch the eager properties."""
+
+    def __init__(self, *, gate: GateState, blacklist: BlacklistState,
+                 host_snapshots: dict[str, dict],
+                 longest: list[tuple[int, str]], rounds: int,
+                 documents_path: str | None, ckpt_dir: str | None,
+                 frontier_pool: "ShardedFrontier",
+                 fetched_frames: list[pd.DataFrame] | None = None,
+                 token_acc: dict[str, int] | None = None):
+        self.gate = gate
+        self.blacklist = blacklist
+        self.host_snapshots = host_snapshots
+        self.longest = longest
+        self.rounds = rounds
+        self.documents_path = documents_path
+        self._ckpt_dir = ckpt_dir
+        self._frontier_pool = frontier_pool
+        self._fetched_frames = fetched_frames or []
+        self._token_acc = token_acc
+        self._fetched_cache: pd.DataFrame | None = None
+        self._frontier_cache: pd.DataFrame | None = None
+        self._token_cache: dict[str, int] | None = None
+        self._excluded_cache: set[str] | None = None
+
+    # ---- lazy plumbing ------------------------------------------------
+    def _round_files(self, name: str) -> list[str]:
+        if not self._ckpt_dir or not os.path.isdir(self._ckpt_dir):
+            return []
+        return [
+            os.path.join(self._ckpt_dir, r, name)
+            for r in sorted(os.listdir(self._ckpt_dir))
+            if r.startswith("round=")
+            and os.path.exists(os.path.join(self._ckpt_dir, r, name))
+        ]
+
+    def _fetched(self) -> pd.DataFrame:
+        if self._fetched_cache is None:
+            frames = list(self._fetched_frames)
+            if self._ckpt_dir and not frames:
+                for f in self._round_files("fetched_delta.parquet"):
+                    fd = pq.read_table(f).to_pandas()
+                    if len(fd):
+                        fd["url_hash"] = fd["url_hash"].map(bytes)
+                        frames.append(fd)
+            if frames:
+                self._fetched_cache = pd.concat(
+                    frames, ignore_index=True).sort_values("fetch_seq")
+            else:
+                self._fetched_cache = _empty_pending().assign(
+                    fetch_seq=pd.Series(dtype="int64"))
+        return self._fetched_cache
+
+    # ---- eager accessors (test / small-run only) ----------------------
+    @property
+    def fetch_log(self) -> list[str]:
+        """EAGER — the full fetch history as a driver list."""
+        return list(self._fetched()["url"])
+
+    @property
+    def frontier(self) -> pd.DataFrame:
+        """EAGER — fetched + pending rows in one driver frame."""
+        if self._frontier_cache is None:
+            pending_df = self._frontier_pool.dump()
+            if len(pending_df):
+                pending_df["url_hash"] = pending_df["url_hash"].map(bytes)
+            self._frontier_cache = pd.concat(
+                [self._fetched().assign(status="fetched"),
+                 pending_df.assign(status="pending", fetch_seq=-1)],
+                ignore_index=True)
+        return self._frontier_cache
 
     @property
     def seen_hashes(self) -> set[bytes]:
         # cancelled rows were dropped and their hashes deleted from the
         # cuckoo shards, so everything still present IS the seen set
         return set(self.frontier["url_hash"])
+
+    @property
+    def token_counts(self) -> dict[str, int]:
+        """EAGER — the full O(vocabulary) token-count dict (merged from the
+        per-round checkpoint partials when the engine ran with a ckpt_dir)."""
+        if self._token_acc is not None:
+            return {t: int(n) for t, n in self._token_acc.items()}
+        if self._token_cache is None:
+            acc: dict[str, int] = {}
+            for f in self._round_files("token_partials.parquet"):
+                td = pq.read_table(f)
+                for tok, n in zip(td["token"].to_pylist(), td["n"].to_pylist()):
+                    acc[tok] = acc.get(tok, 0) + int(n)
+            self._token_cache = acc
+        return self._token_cache
+
+    @property
+    def excluded_doc_ids(self) -> set[str]:
+        if self._excluded_cache is None:
+            excl: set[str] = set()
+            for f in self._round_files("excluded_docs.json"):
+                with open(f) as fh:
+                    excl.update(json.load(fh))
+            self._excluded_cache = excl
+        return self._excluded_cache
+
+    # ---- scale accessors ----------------------------------------------
+    def fetch_log_dataset(self) -> "ray.data.Dataset | None":
+        """Streaming form of :attr:`fetch_log`: the checkpointed per-round
+        fetched_delta logs as a Dataset (ordered by fetch_seq within and
+        across files); nothing materializes on the driver."""
+        files = self._round_files("fetched_delta.parquet")
+        return ray.data.read_parquet(files) if files else None
 
     def host_counts(self) -> dict[str, int]:
         return {
@@ -115,7 +215,43 @@ class EngineResult:
         }
 
     def top_tokens(self, k: int = 50) -> list[tuple[str, int]]:
-        return sorted(self.token_counts.items(), key=lambda x: (-x[1], x[0]))[:k]
+        """Top-k tokens by (count desc, token asc) — A5 semantics.
+
+        With a live in-memory accumulator (checkpoint-less test runs) this
+        is a driver sort; with a ckpt_dir it is a DISTRIBUTED fat-bucket
+        aggregation over the checkpointed token_partials logs: tokens
+        hash into 256 buckets, each bucket sums and keeps its own top-k,
+        and the driver merges 256·k candidate rows — never the vocabulary
+        (round-2 verdict: the O(web-vocabulary) driver accumulator)."""
+        if self._token_acc is not None:
+            return sorted(self._token_acc.items(),
+                          key=lambda x: (-x[1], x[0]))[:k]
+        files = self._round_files("token_partials.parquet")
+        if not files:
+            return []
+
+        def bucket(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                t["token"].to_pandas(), index=False,
+                hash_key="spidey-tok-00000", categorize=False)
+            return t.append_column(
+                "_b", pa.array((h % 256).astype(np.int32).to_numpy()))
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("token", as_index=False)["n"].sum()
+            return agg.sort_values(["n", "token"], ascending=[False, True],
+                                   kind="mergesort").head(k)
+
+        top = (
+            ray.data.read_parquet(files)
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(per_bucket, batch_format="pandas")
+            .to_pandas()        # ≤ 256·k rows
+        )
+        top = top.sort_values(["n", "token"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        return [(t, int(n)) for t, n in zip(top["token"], top["n"])]
 
     def documents(self) -> pa.Table | None:
         """TEST/SMALL-RUN ONLY — eager driver-side concat of the documents
@@ -199,10 +335,12 @@ class CrawlEngine:
         # (nonce, version) keys the workers' compiled-blacklist cache: the
         # nonce isolates engine instances sharing one Ray session's workers
         self._blacklist_version = (_uuid.uuid4().hex[:12], 0)
-        # running token-count accumulator: O(vocabulary), merged per
-        # round (a per-round frame LIST would be O(rounds x round-vocab))
-        self._token_acc: dict[str, int] = {}
-        self._excluded_docs_all: set[str] = set()
+        # token-count accumulator: O(vocabulary) driver state, so it exists
+        # ONLY for checkpoint-less (test-scale) runs; with a ckpt_dir the
+        # per-round token_partials.parquet logs are authoritative and
+        # top-50 is a distributed aggregation over them at result time
+        self._token_acc: dict[str, int] | None = ({} if ckpt_dir is None
+                                                  else None)
         self._host_allow_all: set[str] = set()
         self._host_rules: dict[str, str] = {}   # processed rule-bearing hosts
         self.longest: list[tuple[int, str]] = []
@@ -496,17 +634,18 @@ class CrawlEngine:
             partial = pd.DataFrame({"token": pd.Series(dtype=object),
                                     "n": pd.Series(dtype="int64")})
         self._round_token_partial = partial
-        if len(partial):
+        if self._token_acc is not None and len(partial):
             acc = self._token_acc
             for tok, n in zip(partial["token"].to_numpy(),
                               partial["n"].to_numpy()):
                 acc[tok] = acc.get(tok, 0) + int(n)
 
         # ---- documents exclusions: the stage wrote the gate-passed SUPERSET;
-        # gate-suppressed pages are recorded and filtered at read time ----
+        # gate-suppressed pages are recorded per round and filtered at read
+        # time (the all-rounds union is assembled lazily from the ckpt logs,
+        # never accumulated on the driver) ----
         excluded = sorted(u for u in tokenized_urls if u not in passed_urls)
         self._round_excluded_docs = excluded
-        self._excluded_docs_all.update(excluded)
         t = self._t("token_counts", t)
 
         # ---- 4. candidate outlinks, minus gate-suppressed pages ----
@@ -580,6 +719,7 @@ class CrawlEngine:
                     self._host_allow_all.add(host)
                 elif r.get("robots_txt"):
                     self._host_rules[host] = r["robots_txt"]
+            self._trim_host_caches()
             cand_ok = pd.concat(frames) if frames else cand_rows.iloc[:0]
             add_df = pd.DataFrame({
                 "raw_url": cand_ok["sorted_url"].values,
@@ -629,6 +769,21 @@ class CrawlEngine:
                 self.seen.delete(np.array(
                     [key64(h) for h in cancelled], dtype=np.uint64))
         self._t("boundary", t)
+
+    # robots bypass caches are pure OPTIMIZATION state (the host shards are
+    # authoritative): bound them so hosts don't grow driver memory without
+    # limit at web scale — an evicted host just pays one extra shard RPC.
+    # _host_rules also ships into every round's stage kwargs, so its cap is
+    # much tighter (rules are ~KB each).
+    _HOST_ALLOW_CAP = 1_000_000
+    _HOST_RULES_CAP = 10_000
+
+    def _trim_host_caches(self) -> None:
+        while len(self._host_allow_all) > self._HOST_ALLOW_CAP:
+            self._host_allow_all.pop()
+        while len(self._host_rules) > self._HOST_RULES_CAP:
+            # FIFO eviction (dict preserves insertion order)
+            self._host_rules.pop(next(iter(self._host_rules)))
 
     # ------------------------------------------------------------------
     def _checkpoint(self, round_k: int) -> None:
@@ -762,18 +917,13 @@ class CrawlEngine:
         self.blacklist = BlacklistState(
             permanent=dict(b["permanent"]), temp=set(b["temp"]))
 
-        self._token_acc = {}
-        self._excluded_docs_all = set()
+        # token counts / exclusions are NOT rebuilt here: the per-round
+        # checkpoint logs are authoritative and EngineResult aggregates them
+        # lazily/distributed at result time (round-2 verdict: the resume
+        # loop re-materialized the whole web vocabulary on the driver)
+        self._token_acc = None
         self._host_allow_all = set()   # warm caches rebuilt lazily after resume
         self._host_rules = {}
-        for r in rounds:
-            td = pq.read_table(os.path.join(ckpt_dir, r, "token_partials.parquet"))
-            for tok, n in zip(td["token"].to_pylist(), td["n"].to_pylist()):
-                self._token_acc[tok] = self._token_acc.get(tok, 0) + int(n)
-            exf = os.path.join(ckpt_dir, r, "excluded_docs.json")
-            if os.path.exists(exf):
-                with open(exf) as f:
-                    self._excluded_docs_all.update(json.load(f))
 
         self.seen = ShardedSeen.restore_from_dir(rd)
 
@@ -793,49 +943,28 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _result(self, rounds_done: int) -> EngineResult:
-        token_counts = {t: int(n) for t, n in self._token_acc.items()}
+        """O(1) in corpus size: hands the result handle the checkpoint dir,
+        the frontier pool and (for checkpoint-less runs) the in-memory
+        frames/accumulator — the history itself stays on disk/in shards
+        until an eager accessor explicitly asks for it (round-2 verdict:
+        run() used to concatenate the full fetch log here, OOMing at 10^10
+        even though the crawl itself had succeeded)."""
         host_snaps: dict[str, dict] = {}
         for snap in ray.get([s.snapshot.remote() for s in self.host_shards]):
             host_snaps.update(snap)
-        frames = self._fetched_frames
-        if self.ckpt_dir and not frames:
-            # the on-disk per-round deltas ARE the fetch log; loading it here
-            # is a result-time convenience (tests / small runs) — large jobs
-            # consume the log as a Dataset from disk instead
-            frames = []
-            for r in sorted(os.listdir(self.ckpt_dir)):
-                f = os.path.join(self.ckpt_dir, r, "fetched_delta.parquet")
-                if r.startswith("round=") and os.path.exists(f):
-                    fd = pq.read_table(f).to_pandas()
-                    if len(fd):
-                        fd["url_hash"] = fd["url_hash"].map(bytes)
-                        frames.append(fd)
-        if frames:
-            fetched = pd.concat(frames, ignore_index=True) \
-                .sort_values("fetch_seq")
-        else:
-            fetched = _empty_pending().assign(fetch_seq=pd.Series(dtype="int64"))
-        pending_df = self.frontier.dump()
-        if len(pending_df):
-            pending_df["url_hash"] = pending_df["url_hash"].map(bytes)
-        frontier_all = pd.concat(
-            [fetched.assign(status="fetched"),
-             pending_df.assign(status="pending", fetch_seq=-1)],
-            ignore_index=True,
-        )
         return EngineResult(
-            fetch_log=list(fetched["url"]),
-            frontier=frontier_all,
             gate=self.gate,
             blacklist=self.blacklist,
             host_snapshots=host_snaps,
-            token_counts=token_counts,
             longest=self.longest,
             rounds=rounds_done,
             documents_path=(
                 os.path.join(self.ckpt_dir, "documents") if self.ckpt_dir else None
             ),
-            excluded_doc_ids=set(self._excluded_docs_all),
+            ckpt_dir=self.ckpt_dir,
+            frontier_pool=self.frontier,
+            fetched_frames=self._fetched_frames,
+            token_acc=self._token_acc,
         )
 
 
