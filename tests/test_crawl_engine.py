@@ -160,6 +160,39 @@ class TestResume:
         assert set(got) == set(oracle.documents)
         shutil.rmtree(ckpt, ignore_errors=True)
 
+    def test_delta_checkpoints_resume_identical(self, ray_session, small_web,
+                                                tmp_path):
+        """KV pools checkpoint DELTAS with periodic full blobs: resuming
+        across a compaction boundary (full at rounds 0/2/4, deltas between)
+        must replay the chain bit-identically, and a delta round's
+        footprint bytes must stay proportional to the round, not the
+        corpus."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from spidey_ray.pipelines.crawl import CrawlEngine
+        from spidey_ray.pipelines.oracle import crawl_serial
+
+        ckpt = str(tmp_path / "ckd")
+        CrawlEngine(small_web, ckpt_dir=ckpt,
+                    ckpt_compact_every=2).run(stop_after_round=3)
+        # round 3 is a delta round (3 % 2 == 1): its footprint file must
+        # hold only that round's new keys, not the accumulated corpus
+        d3 = os.path.join(ckpt, "round=00003",
+                          "footprints_delta_shard0.parquet")
+        f2 = os.path.join(ckpt, "round=00002",
+                          "footprints_full_shard0.parquet")
+        assert os.path.exists(d3) and os.path.exists(f2)
+        assert pq.read_table(d3).num_rows <= pq.read_table(f2).num_rows
+        resumed = CrawlEngine.resume(ckpt, small_web,
+                                     ckpt_compact_every=2).run()
+        oracle = crawl_serial(small_web)
+        assert resumed.fetch_log == oracle.fetch_log
+        assert resumed.seen_hashes == oracle.seen_hashes
+        assert resumed.token_counts == oracle.token_counts
+        shutil.rmtree(ckpt, ignore_errors=True)
+
     def test_resume_derives_shard_count_from_checkpoint(self, ray_session,
                                                         small_web, tmp_path):
         """A checkpoint written with a NON-default n_host_shards must resume
