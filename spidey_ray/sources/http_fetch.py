@@ -69,6 +69,64 @@ def make_cache_fetch_fn(server: str, user_agent: str = "spidey-ray",
     return fetch_fn
 
 
+def register_cache_server(registration_server: str,
+                          user_agent: str = "spidey-ray",
+                          fresh: bool = False, timeout: float = 10.0,
+                          poll_interval: float = 0.5,
+                          max_polls: int = 120) -> str:
+    """Cache-server registration handshake — the step a reference user hits
+    FIRST when deploying (``backend/crawler/utils/server_registration.py:
+    5-26``): present the user agent to the registration endpoint, poll
+    until a load balancer assigns a (host, port), and fail hard on an
+    unacceptable user agent.  The reference speaks the spacetime dataframe
+    protocol (Register row + pull_await loop); this rebuild carries the
+    same state machine over plain HTTP:
+
+        GET {registration_server}/register?u=<agent>&fresh=<0|1>
+            → {"invalid": bool, "host": str|null, "port": int|null}
+
+    polled until ``host``/``port`` are set.  Returns the cache server
+    address ``http://host:port`` ready for :func:`make_cache_fetch_fn`.
+    ``fresh`` mirrors ``restart or not os.path.exists(save_file)``."""
+    import time
+
+    q = urllib.parse.urlencode([("u", user_agent),
+                                ("fresh", "1" if fresh else "0")])
+    url = f"{registration_server}/register?{q}"
+    for _ in range(max_polls):
+        with urllib.request.urlopen(url, timeout=timeout) as r:
+            payload = _decode(r.read())
+        if payload.get("invalid"):
+            # server_registration.py:15-16
+            raise RuntimeError("User agent string is not acceptable.")
+        if payload.get("host") and payload.get("port"):
+            return f"http://{payload['host']}:{int(payload['port'])}"
+        time.sleep(poll_interval)
+    raise TimeoutError(
+        f"no load balancer assigned after {max_polls} polls of "
+        f"{registration_server}")
+
+
+_REGISTERED: dict = {}
+
+
+def make_registered_cache_fetch_fn(registration_server: str,
+                                   user_agent: str = "spidey-ray",
+                                   fresh: bool = False,
+                                   timeout: float = 10.0):
+    """register → fetch in one factory, importable by module+name so the
+    crawl stage can construct it inside workers (fetch_spec).  Registration
+    runs ONCE per process per (registration_server, user_agent) — repeat
+    factory calls in the same worker reuse the assigned cache address,
+    mirroring the reference's single driver-side registration."""
+    key = (registration_server, user_agent)
+    server = _REGISTERED.get(key)
+    if server is None:
+        server = _REGISTERED[key] = register_cache_server(
+            registration_server, user_agent, fresh=fresh, timeout=timeout)
+    return make_cache_fetch_fn(server, user_agent=user_agent, timeout=timeout)
+
+
 def make_direct_fetch_fn(user_agent: str = "spidey-ray", timeout: float = 10.0):
     """Plain HTTP GET (no cache server). Redirects resolve to ``geturl()``
     — the reference's ``resp.url is final_url`` semantics."""
