@@ -376,10 +376,14 @@ def q_tfidf(sf_dir: str):
         })
 
     def bucket(t: pa.Table) -> pa.Table:
-        import zlib
-
-        b = [zlib.crc32(x.encode()) % 256 for x in t["token"].to_pylist()]
-        return t.append_column("_bucket", pa.array(b, type=pa.int32()))
+        # vectorized bucket hash (pandas C hash, categorize=False — see
+        # stages/joins.py note on NUL truncation) instead of a per-token
+        # Python crc32 loop
+        h = pd.util.hash_pandas_object(
+            t["token"].to_pandas(), index=False,
+            hash_key="spidey-tfid-0000", categorize=False)
+        return t.append_column(
+            "_bucket", pa.array((h % 256).astype(np.int32).to_numpy()))
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # token-hash fat buckets (one group per token would be vocab-many

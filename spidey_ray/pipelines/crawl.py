@@ -476,6 +476,19 @@ class CrawlEngine:
         # only per-host COUNTS and the admitted window (O(round)) move.
         shard_counts = self.frontier.host_counts_per_shard()
         self._round_rows_in = sum(sum(c.values()) for c in shard_counts)
+        # skew telemetry: per-shard pending rows + the round's hottest host
+        # (north_rule "salted splits for hot domains": the round stage's
+        # uniform driver-side slicing already spreads a hot host's admitted
+        # rows across all blocks — this records the skew so lineage shows it)
+        self._rows_in_per_shard = [int(sum(c.values())) for c in shard_counts]
+        _host_tot: dict[str, int] = {}
+        for c in shard_counts:
+            for h, n in c.items():
+                _host_tot[h] = _host_tot.get(h, 0) + n
+        self._hot_host, self._hot_host_rows = ("", 0)
+        if _host_tot:
+            hh = max(_host_tot, key=lambda h: (_host_tot[h], h))
+            self._hot_host, self._hot_host_rows = hh, int(_host_tot[hh])
         admit_refs = {
             i: shard.admit.remote(counts, round_k)
             for i, (shard, counts) in enumerate(
@@ -534,6 +547,7 @@ class CrawlEngine:
             blacklist_version=self._blacklist_version,
         )
         inline = len(admitted) <= self.inline_threshold
+        self._stage_blocks, self._stage_max_block = 1, len(admitted)
         if inline:
             ctbl = round_process_batch(in_tbl, **stage_kwargs)
         else:
@@ -547,6 +561,7 @@ class CrawlEngine:
             # seconds of fixed cost; slicing an in-memory Arrow table is free
             step = (len(in_tbl) + n_blocks - 1) // n_blocks
             slices = [in_tbl.slice(i, step) for i in range(0, len(in_tbl), step)]
+            self._stage_blocks, self._stage_max_block = len(slices), step
             ds = (
                 ray.data.from_arrow(slices)
                 .map_batches(
@@ -754,6 +769,11 @@ class CrawlEngine:
             urls_fetched=len(admitted),
             rows_out=n_additions,
             bytes=int(rec_df["content_len"].sum()),
+            rows_in_per_shard=json.dumps(self._rows_in_per_shard),
+            hot_host=self._hot_host,
+            hot_host_rows=self._hot_host_rows,
+            stage_blocks=self._stage_blocks,
+            stage_max_block=self._stage_max_block,
         )
         cancel_patterns = []
         for p in new_patterns:

@@ -42,9 +42,18 @@ class WebConfig:
     tokens_per_page: int = 180
     domain: str = "example.com"
     n_seeds: int = 4
+    # hot-domain skew knob: h0 gets this many pages instead of
+    # pages_per_host (0 = uniform) — lets skew tests build a web where one
+    # host holds ~90% of the corpus while every other semantic is unchanged
+    hot_host_pages: int = 0
 
     def host(self, i: int) -> str:
         return f"h{i}.{self.domain}"
+
+    def pages_of(self, host_i: int) -> int:
+        if host_i == 0 and self.hot_host_pages:
+            return self.hot_host_pages
+        return self.pages_per_host
 
     def seeds(self) -> list[str]:
         return [f"https://{self.host(i)}/" for i in range(min(self.n_seeds, self.n_hosts))]
@@ -108,13 +117,13 @@ def _generic_links(cfg: WebConfig, host_i: int, page_j: int) -> list[str]:
     links = []
     for c in range(1, cfg.branching + 1):
         child = page_j * cfg.branching + c
-        if child < cfg.pages_per_host:
+        if child < cfg.pages_of(host_i):
             links.append(f"https://{host}/p/{child}")
     rng = _rng(cfg, "xlink", host_i, page_j)
     for _ in range(cfg.cross_links):
         other = rng.randrange(cfg.n_hosts)
         if other != host_i:
-            oj = rng.randrange(cfg.pages_per_host)
+            oj = rng.randrange(cfg.pages_of(other))
             links.append(f"https://{cfg.host(other)}/p/{oj}")
     if page_j % 4 == 1:
         links.append(f"https://{host}/p/{page_j}/")  # trailing-slash variant (normalize M2)
@@ -172,13 +181,13 @@ def fetch(cfg: WebConfig, url: str) -> Page:
         return Page(url, url, 200 if body is not None else 404, body or "")
 
     if feat == 1 and path == "/sitemap.txt":
-        lines = [f"https://{host}/p/{j}" for j in range(0, cfg.pages_per_host, 2)]
+        lines = [f"https://{host}/p/{j}" for j in range(0, cfg.pages_of(host_i), 2)]
         return Page(url, url, 200, "\n".join(lines))
 
     if feat == 9 and path == "/sitemap.xml":
         locs = "".join(
             f"<url><loc>https://{host}/p/{j}</loc></url>"
-            for j in range(0, cfg.pages_per_host, 3)
+            for j in range(0, cfg.pages_of(host_i), 3)
         )
         return Page(url, url, 200, f'<?xml version="1.0"?><urlset>{locs}</urlset>')
 
@@ -248,7 +257,7 @@ def fetch(cfg: WebConfig, url: str) -> Page:
     # regular pages /p/<j>
     if parts and parts[0] == "p" and len(parts) == 2 and parts[1].isdigit():
         j = int(parts[1])
-        if j >= cfg.pages_per_host:
+        if j >= cfg.pages_of(host_i):
             return Page(url, url, 404, "")
         links = _generic_links(cfg, host_i, j)
         n_tokens = cfg.tokens_per_page

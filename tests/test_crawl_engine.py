@@ -213,6 +213,47 @@ class TestResume:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+class TestHotHostSkew:
+    def test_hot_host_crawl_balanced_and_identical(self, ray_session,
+                                                   tmp_path):
+        """A web where one host holds ~90% of the pages (north_rule 'salted
+        splits for hot domains'): the crawl must equal the oracle AND the
+        round stage's blocks must stay uniform — the hot host's admitted
+        rows are spread by the driver's row-range slicing, so no block
+        (and hence no task) holds more than ceil(round/blocks) rows."""
+        import json as _json
+        import os
+
+        import pyarrow.parquet as pq
+
+        from spidey_ray.pipelines.crawl import CrawlEngine
+        from spidey_ray.pipelines.oracle import crawl_serial
+
+        cfg = WebConfig(n_hosts=8, pages_per_host=3, hot_host_pages=150,
+                        n_seeds=4)
+        o = crawl_serial(cfg)
+        ckpt = str(tmp_path / "ckhot")
+        res = CrawlEngine(cfg, ckpt_dir=ckpt, inline_threshold=0).run()
+        assert res.fetch_log == o.fetch_log
+        assert res.token_counts == o.token_counts
+        hot_seen = False
+        for r in sorted(os.listdir(ckpt)):
+            lf = os.path.join(ckpt, r, "lineage.parquet")
+            if not r.startswith("round=") or not os.path.exists(lf):
+                continue
+            lin = pq.read_table(lf).to_pylist()[0]
+            per_shard = _json.loads(lin["rows_in_per_shard"])
+            assert sum(per_shard) == lin["rows_in"]
+            if lin["rows_in"] and lin["hot_host_rows"] > 0.5 * lin["rows_in"]:
+                hot_seen = True   # telemetry catches the skewed round
+            # balance invariant: biggest stage block == uniform ceiling
+            if lin["urls_fetched"]:
+                ceil = -(-lin["urls_fetched"] // lin["stage_blocks"])
+                assert lin["stage_max_block"] <= ceil
+        assert hot_seen
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 class TestCuckoo:
     def test_seen_or_add_first_seen_wins(self):
         f = CuckooFilter(1 << 10)
