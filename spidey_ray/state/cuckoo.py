@@ -4,12 +4,14 @@ Generalizes the reference's exact shelve membership gate
 (backend/crawler/crawler/frontier.py:60-66 ``urlhash not in self.save``) into
 an approximate-membership structure that scales to a 10^10-URL frontier:
 
-- each shard is a cuckoo filter (B buckets × 4 slots × 16-bit fingerprints,
-  partial-key cuckoo hashing per Fan et al., "Cuckoo Filter: Practically
-  Better Than Bloom", CoNEXT'14): ~2.1 bytes/key at 95% load, supports
-  delete — needed because the reference's ``cancel_urls`` removes
-  blacklisted pending URLs from the seen set so they can be re-added later
-  (frontier.py:80-92),
+- each shard is a GROWABLE chain of cuckoo-filter segments
+  (``ScalableCuckoo``: B buckets × 4 slots × 16-bit fingerprints per
+  segment, partial-key cuckoo hashing per Fan et al., "Cuckoo Filter:
+  Practically Better Than Bloom", CoNEXT'14; geometric segment doubling per
+  Almeida et al.'s scalable-Bloom construction): ~2.1 bytes/key at 95%
+  load with NO fixed capacity, supports delete — needed because the
+  reference's ``cancel_urls`` removes blacklisted pending URLs from the
+  seen set so they can be re-added later (frontier.py:80-92),
 - shards are Ray actors; keys are routed by ``key % n_shards`` so shard
   count (not per-shard memory) scales with frontier size,
 - batched ``seen_or_add`` keeps the actor round-trips per crawl round at
@@ -168,6 +170,140 @@ class CuckooFilter:
         return self
 
 
+class ScalableCuckoo:
+    """Growable seen-set: an ordered chain of cuckoo segments.
+
+    A single cuckoo filter hard-fails near ~95% load (``_insert_one``
+    raises) — a fixed capacity is a non-starter for a 10^10-URL frontier
+    whose final size nobody knows up front.  This applies the scalable-Bloom
+    construction (Almeida et al., "Scalable Bloom Filters", IPL 2007) to
+    cuckoo segments: when the active (last) segment reaches ``GROW_AT`` of
+    its capacity, it is frozen and a fresh segment with DOUBLE the buckets
+    becomes the insert target.  Geometric growth keeps total segments
+    O(log n) and amortized memory at the same ~2.1 bytes/key.
+
+    Guarantees preserved from the single filter:
+    - no false negatives: membership is the OR over segments,
+    - first-seen-wins: a key is inserted only if no segment contains it,
+    - delete: removes one matching fingerprint from whichever segment holds
+      it (same partial-key caveat as the flat filter),
+    - deterministic replay: growth points and eviction RNG depend only on
+      the insert sequence, so delta-checkpoint replay reproduces an
+      equivalent (membership-identical) structure.
+
+    False-positive rate grows additively per segment (~0.003% each at
+    16-bit fingerprints); with O(log n) segments it stays ~0.01%.
+    """
+
+    GROW_AT = 0.94
+
+    def __init__(self, n_buckets: int = 1 << 14, slots: int = 4):
+        self.segments = [CuckooFilter(n_buckets, slots)]
+
+    # -- facade properties (delta-blob compat + telemetry) -----------------
+    @property
+    def n_buckets(self) -> int:
+        return self.segments[0].n_buckets
+
+    @property
+    def slots(self) -> int:
+        return self.segments[0].slots
+
+    @property
+    def count(self) -> int:
+        return sum(s.count for s in self.segments)
+
+    @property
+    def capacity(self) -> int:
+        return sum(s.n_buckets * s.slots for s in self.segments)
+
+    def _grow(self) -> None:
+        last = self.segments[-1]
+        self.segments.append(CuckooFilter(last.n_buckets * 2, last.slots))
+
+    @staticmethod
+    def _hashes(seg: CuckooFilter, keys: np.ndarray):
+        fp = seg._fingerprint(keys)
+        i1 = seg._index1(keys)
+        return fp, i1, seg._index2(i1, fp)
+
+    def seen_or_add(self, keys: np.ndarray) -> np.ndarray:
+        """For each uint64 key: True if any segment has it, else add to the
+        active segment (growing first if it is at GROW_AT) and False."""
+        keys = np.asarray(keys).astype(np.uint64, copy=False)
+        pre = [self._hashes(s, keys) for s in self.segments]
+        out = np.zeros(len(keys), dtype=bool)
+        for k in range(len(keys)):
+            hit = False
+            for seg, (fp, i1, i2) in zip(self.segments, pre):
+                if seg._contains_one(i1[k], i2[k], fp[k]):
+                    hit = True
+                    break
+            if hit:
+                out[k] = True
+                continue
+            active = self.segments[-1]
+            if active.count >= int(self.GROW_AT * active.n_buckets * active.slots):
+                self._grow()
+                active = self.segments[-1]
+                pre.append(self._hashes(active, keys))
+            fp, i1, i2 = pre[-1]
+            try:
+                active._insert_one(int(i1[k]), int(i2[k]), int(fp[k]))
+            except RuntimeError:  # kicks exhausted below GROW_AT (rare)
+                self._grow()
+                active = self.segments[-1]
+                pre.append(self._hashes(active, keys))
+                fp, i1, i2 = pre[-1]
+                active._insert_one(int(i1[k]), int(i2[k]), int(fp[k]))
+        return out
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys).astype(np.uint64, copy=False)
+        out = np.zeros(len(keys), dtype=bool)
+        for seg in self.segments:
+            miss = np.nonzero(~out)[0]
+            if not miss.size:
+                break
+            out[miss] = seg.contains(keys[miss])
+        return out
+
+    def delete(self, keys: np.ndarray) -> int:
+        """Remove one matching fingerprint per key, searching segments in
+        insertion order (cancel semantics, frontier.py:85-88)."""
+        keys = np.asarray(keys).astype(np.uint64, copy=False)
+        pre = [self._hashes(s, keys) for s in self.segments]
+        removed = 0
+        for k in range(len(keys)):
+            for seg, (fp, i1, i2) in zip(self.segments, pre):
+                done = False
+                for idx in (int(i1[k]), int(i2[k])):
+                    row = seg.table[idx]
+                    hit = np.nonzero(row == fp[k])[0]
+                    if hit.size:
+                        row[hit[0]] = _EMPTY
+                        seg.count -= 1
+                        removed += 1
+                        done = True
+                        break
+                if done:
+                    break
+        return removed
+
+    # -- checkpoint -------------------------------------------------------
+    def serialize(self) -> dict:
+        return {"segments": [s.serialize() for s in self.segments]}
+
+    @classmethod
+    def restore(cls, blob: dict) -> "ScalableCuckoo":
+        self = cls.__new__(cls)
+        if "segments" in blob:
+            self.segments = [CuckooFilter.restore(b) for b in blob["segments"]]
+        else:  # pre-growth full blob: a single flat table
+            self.segments = [CuckooFilter.restore(blob)]
+        return self
+
+
 def key64(url_hash20: bytes) -> int:
     """uint64 routing/filter key from the 20-byte SHA-1 url hash."""
     return int.from_bytes(url_hash20[:8], "big")
@@ -194,11 +330,11 @@ class CuckooShard:
             for p in chain_paths:
                 with open(p, "rb") as f:
                     b = pickle.load(f)
-                if "table" in b:            # full blob
-                    self.filter = CuckooFilter.restore(b)
+                if "table" in b or "segments" in b:  # full blob
+                    self.filter = ScalableCuckoo.restore(b)
                 else:                       # delta: replay adds then deletes
                     if self.filter is None:
-                        self.filter = CuckooFilter(b["n_buckets"], b["slots"])
+                        self.filter = ScalableCuckoo(b["n_buckets"], b["slots"])
                     added = np.frombuffer(b["added"], dtype=np.uint64)
                     if added.size:
                         self.filter.seen_or_add(added)
@@ -206,9 +342,9 @@ class CuckooShard:
                     if deleted.size:
                         self.filter.delete(deleted)
         elif blob is not None:
-            self.filter = CuckooFilter.restore(blob)
+            self.filter = ScalableCuckoo.restore(blob)
         if self.filter is None:
-            self.filter = CuckooFilter(n_buckets)
+            self.filter = ScalableCuckoo(n_buckets)
         self._delta_added: list[np.ndarray] = []
         self._delta_deleted: list[np.ndarray] = []
 

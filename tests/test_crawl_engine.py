@@ -288,6 +288,48 @@ class TestCuckoo:
         # be (nearly) absent for oracle-equality tests to be meaningful
         assert f.contains(absent).sum() < 5
 
+    def test_scalable_grows_past_flat_capacity(self):
+        # the 512-host smoke crashed here in round 3: a flat filter raises
+        # "over capacity" at ~95% load; the scalable chain must keep going
+        from spidey_ray.state.cuckoo import ScalableCuckoo
+
+        f = ScalableCuckoo(1 << 8)          # flat capacity 1024
+        keys = np.arange(20_000, dtype=np.uint64)
+        # approximate filter: a handful of first-add false "seen" hits are
+        # inherent (16-bit fp collisions), but never a crash past capacity
+        assert f.seen_or_add(keys).sum() < 40         # 20× flat capacity
+        assert len(f.segments) > 1                    # actually grew
+        assert f.contains(keys).all()                 # no false negatives
+        assert f.seen_or_add(keys).all()              # first-seen-wins holds
+        absent = np.arange(20_000, 40_000, dtype=np.uint64)
+        assert f.contains(absent).sum() < 40          # fp rate still tiny
+
+    def test_scalable_delete_and_readd_across_segments(self):
+        from spidey_ray.state.cuckoo import ScalableCuckoo
+
+        f = ScalableCuckoo(1 << 8)
+        keys = np.arange(5_000, dtype=np.uint64)
+        f.seen_or_add(keys)
+        victims = keys[::7].copy()          # spread over several segments
+        assert f.delete(victims) == len(victims)
+        assert not f.contains(victims).any()
+        assert not f.seen_or_add(victims).any()       # re-add allowed
+
+    def test_scalable_serialize_roundtrip_and_flat_compat(self):
+        from spidey_ray.state.cuckoo import ScalableCuckoo
+
+        f = ScalableCuckoo(1 << 8)
+        keys = np.arange(10_000, dtype=np.uint64)
+        f.seen_or_add(keys)
+        g = ScalableCuckoo.restore(f.serialize())
+        assert g.contains(keys).all()
+        assert g.count == f.count and len(g.segments) == len(f.segments)
+        # pre-growth full blobs (single flat table) still restore
+        flat = CuckooFilter(1 << 10)
+        flat.seen_or_add(keys[:500])
+        h = ScalableCuckoo.restore(flat.serialize())
+        assert h.contains(keys[:500]).all() and len(h.segments) == 1
+
 
 class TestAdmission:
     def test_politeness_budget_per_round(self):
