@@ -85,11 +85,18 @@ class CuckooFilter:
                 row[free[0]] = fp
                 self.count += 1
                 return True
+        # kick chain; recorded so exhaustion can UNWIND it — a bare raise
+        # would leave the final evicted fingerprint homeless (a silent
+        # false negative for whichever key owned it), which matters now
+        # that ScalableCuckoo catches the error and retries in a fresh
+        # segment instead of crashing
         idx = i1
         cur = np.uint16(fp)
+        chain: list[tuple[int, int, np.uint16]] = []
         for _ in range(_MAX_KICKS):
             slot = int(self._rng.integers(self.slots))
             cur, self.table[idx][slot] = self.table[idx][slot], cur
+            chain.append((idx, slot, cur))
             idx = int(
                 self._index2(np.array([idx], dtype=np.int64), np.array([cur]))[0]
             )
@@ -99,45 +106,106 @@ class CuckooFilter:
                 row[free[0]] = cur
                 self.count += 1
                 return True
+        for c_idx, c_slot, evicted in reversed(chain):
+            self.table[c_idx][c_slot] = evicted
         raise RuntimeError(
             f"cuckoo filter over capacity ({self.count}/{self.n_buckets * self.slots})"
         )
 
     # -- batched API ------------------------------------------------------
+    def _contains_vec(self, i1: np.ndarray, i2: np.ndarray,
+                      fp: np.ndarray) -> np.ndarray:
+        """Vectorized membership: two gathers + a compare, no per-key loop.
+        This is the crawl's hottest state op (every extracted outlink lands
+        here, and in steady state most are duplicates), so it must run at
+        memory speed, not Python-interpreter speed."""
+        f = fp[:, None]
+        return ((self.table[i1] == f).any(axis=1)
+                | (self.table[i2] == f).any(axis=1))
+
+    def insert_absent(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized insert of distinct keys known to be absent. Returns a
+        success mask; False entries were kick-exhausted and their state is
+        unwound (caller decides: flat filter raises, scalable grows).
+
+        The scatter path: per round, pick one candidate bucket per key
+        (alternating i1/i2), defer same-bucket colliders to the next round
+        (np.unique first-occurrence), and write each key into its bucket's
+        first free slot in one fancy-indexed assignment. Keys whose both
+        buckets are full fall back to the scalar kick chain — rare below
+        ~95% load."""
+        keys = np.asarray(keys).astype(np.uint64, copy=False)
+        fp = self._fingerprint(keys)
+        i1 = self._index1(keys)
+        i2 = self._index2(i1, fp)
+        n = len(keys)
+        ok = np.zeros(n, dtype=bool)
+        pending = np.arange(n)
+        stall = 0
+        use_i2 = False
+        while pending.size and stall < 2:
+            b = (i2 if use_i2 else i1)[pending]
+            _, first = np.unique(b, return_index=True)
+            sel = pending[first]
+            bsel = b[first]
+            free = self.table[bsel] == _EMPTY
+            has = free.any(axis=1)
+            if has.any():
+                self.table[bsel[has], free.argmax(axis=1)[has]] = fp[sel[has]]
+                self.count += int(has.sum())
+                ok[sel[has]] = True
+                pending = pending[~ok[pending]]
+                stall = 0
+            else:
+                stall += 1
+            use_i2 = not use_i2
+        for k in pending:  # both buckets full: kick chain
+            try:
+                self._insert_one(int(i1[k]), int(i2[k]), int(fp[k]))
+                ok[k] = True
+            except RuntimeError:
+                pass
+        return ok
+
     def seen_or_add(self, keys: np.ndarray) -> np.ndarray:
         """For each uint64 key: True if already present, else add and False.
-        Sequential within the batch → first-seen-wins inside one batch too."""
+        First-seen-wins holds inside one batch: duplicate keys after the
+        first occurrence report True (np.unique keeps the first index)."""
         keys = keys.astype(np.uint64, copy=False)
         fp = self._fingerprint(keys)
         i1 = self._index1(keys)
         i2 = self._index2(i1, fp)
-        out = np.zeros(len(keys), dtype=bool)
-        for k in range(len(keys)):
-            if self._contains_one(i1[k], i2[k], fp[k]):
-                out[k] = True
-            else:
-                self._insert_one(int(i1[k]), int(i2[k]), int(fp[k]))
+        out = self._contains_vec(i1, i2, fp)
+        miss = np.nonzero(~out)[0]
+        if not miss.size:
+            return out
+        # within-batch dedup: only the first occurrence of a key inserts
+        _, first = np.unique(keys[miss], return_index=True)
+        dup = np.ones(len(miss), dtype=bool)
+        dup[first] = False
+        out[miss[dup]] = True
+        if not self.insert_absent(keys[miss[~dup]]).all():
+            raise RuntimeError(
+                f"cuckoo filter over capacity "
+                f"({self.count}/{self.n_buckets * self.slots})")
         return out
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
         keys = keys.astype(np.uint64, copy=False)
         fp = self._fingerprint(keys)
         i1 = self._index1(keys)
-        i2 = self._index2(i1, fp)
-        return np.array(
-            [self._contains_one(i1[k], i2[k], fp[k]) for k in range(len(keys))],
-            dtype=bool,
-        )
+        return self._contains_vec(i1, self._index2(i1, fp), fp)
 
     def delete(self, keys: np.ndarray) -> int:
-        """Remove keys (cancel semantics, frontier.py:85-88). Returns #removed."""
+        """Remove keys (cancel semantics, frontier.py:85-88). Returns #removed.
+        Vectorized probe narrows to the (rare) present keys; only those take
+        the scalar slot-clearing path."""
         keys = keys.astype(np.uint64, copy=False)
         fp = self._fingerprint(keys)
         i1 = self._index1(keys)
         i2 = self._index2(i1, fp)
         removed = 0
-        for k in range(len(keys)):
-            done = False
+        for k in np.nonzero(self._contains_vec(i1, i2, fp))[0]:
             for idx in (int(i1[k]), int(i2[k])):
                 row = self.table[idx]
                 hit = np.nonzero(row == fp[k])[0]
@@ -145,10 +213,7 @@ class CuckooFilter:
                     row[hit[0]] = _EMPTY
                     self.count -= 1
                     removed += 1
-                    done = True
                     break
-            if done:
-                continue
         return removed
 
     # -- checkpoint -------------------------------------------------------
@@ -221,42 +286,45 @@ class ScalableCuckoo:
         last = self.segments[-1]
         self.segments.append(CuckooFilter(last.n_buckets * 2, last.slots))
 
-    @staticmethod
-    def _hashes(seg: CuckooFilter, keys: np.ndarray):
-        fp = seg._fingerprint(keys)
-        i1 = seg._index1(keys)
-        return fp, i1, seg._index2(i1, fp)
-
     def seen_or_add(self, keys: np.ndarray) -> np.ndarray:
         """For each uint64 key: True if any segment has it, else add to the
-        active segment (growing first if it is at GROW_AT) and False."""
+        active segment (growing first if it is at GROW_AT) and False.
+
+        Membership is one vectorized probe per segment (the dominant cost in
+        crawl steady state, where most outlinks are duplicates); only the
+        unique first occurrences of genuinely-new keys take the scalar
+        insert path."""
         keys = np.asarray(keys).astype(np.uint64, copy=False)
-        pre = [self._hashes(s, keys) for s in self.segments]
-        out = np.zeros(len(keys), dtype=bool)
-        for k in range(len(keys)):
-            hit = False
-            for seg, (fp, i1, i2) in zip(self.segments, pre):
-                if seg._contains_one(i1[k], i2[k], fp[k]):
-                    hit = True
-                    break
-            if hit:
-                out[k] = True
-                continue
-            active = self.segments[-1]
-            if active.count >= int(self.GROW_AT * active.n_buckets * active.slots):
-                self._grow()
-                active = self.segments[-1]
-                pre.append(self._hashes(active, keys))
-            fp, i1, i2 = pre[-1]
-            try:
-                active._insert_one(int(i1[k]), int(i2[k]), int(fp[k]))
-            except RuntimeError:  # kicks exhausted below GROW_AT (rare)
-                self._grow()
-                active = self.segments[-1]
-                pre.append(self._hashes(active, keys))
-                fp, i1, i2 = pre[-1]
-                active._insert_one(int(i1[k]), int(i2[k]), int(fp[k]))
+        out = self.contains(keys)
+        miss = np.nonzero(~out)[0]
+        if not miss.size:
+            return out
+        # within-batch dedup: only the first occurrence of a key inserts
+        _, first = np.unique(keys[miss], return_index=True)
+        dup = np.ones(len(miss), dtype=bool)
+        dup[first] = False
+        out[miss[dup]] = True
+        self._insert_batch(keys[miss[~dup]])
         return out
+
+    def _insert_batch(self, ikeys: np.ndarray) -> None:
+        """Insert distinct keys known to be absent, growing segments as
+        needed. Each chunk is bounded by the active segment's GROW_AT
+        headroom, inserted via the vectorized scatter, and kick-exhausted
+        leftovers (unwound, never lost) roll over into the next, larger
+        segment."""
+        while len(ikeys):
+            active = self.segments[-1]
+            room = int(self.GROW_AT * active.n_buckets * active.slots
+                       ) - active.count
+            if room <= 0:
+                self._grow()
+                continue
+            take, rest = ikeys[:room], ikeys[room:]
+            ok = active.insert_absent(take)
+            ikeys = np.concatenate([take[~ok], rest]) if not ok.all() else rest
+            if len(ikeys):
+                self._grow()
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
         keys = np.asarray(keys).astype(np.uint64, copy=False)
@@ -270,24 +338,20 @@ class ScalableCuckoo:
 
     def delete(self, keys: np.ndarray) -> int:
         """Remove one matching fingerprint per key, searching segments in
-        insertion order (cancel semantics, frontier.py:85-88)."""
+        insertion order (cancel semantics, frontier.py:85-88). Vectorized:
+        each segment handles the still-pending keys it contains in one
+        batched call."""
         keys = np.asarray(keys).astype(np.uint64, copy=False)
-        pre = [self._hashes(s, keys) for s in self.segments]
+        pending = np.ones(len(keys), dtype=bool)
         removed = 0
-        for k in range(len(keys)):
-            for seg, (fp, i1, i2) in zip(self.segments, pre):
-                done = False
-                for idx in (int(i1[k]), int(i2[k])):
-                    row = seg.table[idx]
-                    hit = np.nonzero(row == fp[k])[0]
-                    if hit.size:
-                        row[hit[0]] = _EMPTY
-                        seg.count -= 1
-                        removed += 1
-                        done = True
-                        break
-                if done:
-                    break
+        for seg in self.segments:
+            idx = np.nonzero(pending)[0]
+            if not idx.size:
+                break
+            present = seg.contains(keys[idx])
+            if present.any():
+                removed += seg.delete(keys[idx[present]])
+                pending[idx[present]] = False
         return removed
 
     # -- checkpoint -------------------------------------------------------

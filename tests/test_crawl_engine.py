@@ -304,6 +304,24 @@ class TestCuckoo:
         absent = np.arange(20_000, 40_000, dtype=np.uint64)
         assert f.contains(absent).sum() < 40          # fp rate still tiny
 
+    def test_kick_exhaustion_unwinds_no_key_lost(self):
+        # on kick-chain exhaustion the swap chain used to orphan the final
+        # evicted fingerprint (silent false negative) — it must unwind so
+        # ScalableCuckoo can retry the key in a fresh segment safely
+        f = CuckooFilter(1 << 2)            # capacity 16
+        keys = np.arange(100, dtype=np.uint64)
+        inserted = []
+        for k in keys:
+            one = np.array([k], dtype=np.uint64)
+            if f.insert_absent(one)[0]:
+                inserted.append(k)
+        assert 0 < len(inserted) < 100      # some failed past capacity
+        bad = f.insert_absent(np.arange(200, 260, dtype=np.uint64))
+        assert not bad.all()                # at least one kick-exhausted
+        present = f.contains(np.array(inserted, dtype=np.uint64))
+        assert present.all()                # no previously-inserted key lost
+        assert f.count == (f.table != 0).sum()  # count consistent w/ table
+
     def test_scalable_delete_and_readd_across_segments(self):
         from spidey_ray.state.cuckoo import ScalableCuckoo
 
