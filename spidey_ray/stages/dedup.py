@@ -85,13 +85,53 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized) — avalanches a combined hash."""
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64, copy=True)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+# per-token hash cache: vocabulary is Zipfian, so across a worker's batches
+# most tokens repeat; bounded so a worker never holds an unbounded vocab
+_TOKEN_H64: dict[str, int] = {}
+_TOKEN_H64_MAX = 1 << 20
+
+
+def _token_h64(tok: str) -> int:
+    h = _TOKEN_H64.get(tok)
+    if h is None:
+        if len(_TOKEN_H64) >= _TOKEN_H64_MAX:
+            _TOKEN_H64.clear()
+        h = _TOKEN_H64[tok] = token_hash64(tok)
+    return h
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Unique k-token shingle hashes. Per-token sha1-derived 64-bit hashes
+    (cached) are combined per shingle by a degree-k polynomial in a fixed
+    odd multiplier mod 2^64 — the old per-shingle ``" ".join`` + sha1 was
+    the dominant cost of the whole minhash stage (measured 54% at sf0.1);
+    the polynomial roll is vectorized over the token array and preserves
+    the only property minhash needs (uniform, deterministic, set-equal for
+    equal token sequences)."""
     toks = tokens_of(text)
     if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else [""]
-    else:
-        shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(np.array([token_hash64(s) for s in shingles], dtype=np.uint64))
+        s = " ".join(toks) if toks else ""
+        return np.array([token_hash64(s)], dtype=np.uint64)
+    h = np.fromiter((_token_h64(t) for t in toks), dtype=np.uint64,
+                    count=len(toks))
+    n = len(toks) - k + 1
+    with np.errstate(over="ignore"):
+        acc = h[0:n].copy()
+        for i in range(1, k):
+            acc = acc * np.uint64(0x9E3779B97F4A7C15) + h[i:n + i]
+    return np.unique(_mix64(acc))
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -115,24 +155,49 @@ class MinHashStage:
         self.k = shingle_k
         self.text_col = text_col
 
+    # cap on concatenated shingles per matmul chunk: (num_perm × 100k) u64
+    # ≈ 50 MB of intermediates, independent of batch size
+    _SHINGLE_CHUNK = 100_000
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_doc, out_sig, out_bh = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch[self.text_col].to_pylist()):
-            sig = minhash_signature(shingle_hashes(text, self.k), self.a, self.b)
-            bhs = [
-                hashlib.sha1(
-                    sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                    .tobytes()).hexdigest()[:16]
-                for b in range(self.bands)
-            ]
-            out_doc.append(doc_id)
-            out_sig.append(sig.tolist())
-            out_bh.append(bhs)
+        ids = batch["doc_id"].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        n = len(ids)
+        num_perm = len(self.a)
+        sig = np.empty((n, num_perm), dtype=np.uint64)
+        pos = 0
+        while pos < n:                      # chunked batch-level matmul:
+            shs, tot, j = [], 0, pos        # one (perm × shingles) product
+            while j < n and (tot == 0 or tot < self._SHINGLE_CHUNK):
+                s = shingle_hashes(texts[j], self.k)
+                shs.append(s)
+                tot += len(s)
+                j += 1
+            lens = np.fromiter((len(s) for s in shs), dtype=np.int64,
+                               count=len(shs))
+            offs = np.concatenate(([0], lens[:-1].cumsum()))
+            allsh = np.concatenate(shs)
+            with np.errstate(over="ignore"):
+                vals = (allsh[None, :] * self.a[:, None]
+                        + self.b[:, None]) % np.uint64(_MERSENNE)
+            sig[pos:j] = np.minimum.reduceat(vals, offs, axis=1).T
+            pos = j
+        # band hashes: polynomial combine of the band's rows + splitmix64
+        # avalanche, vectorized over all docs (replaces 16 sha1 calls/doc);
+        # 64-bit ints also halve the bytes entering the band shuffle vs the
+        # old 16-char hex strings
+        bh = np.empty((n, self.bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(self.bands):
+                seg = sig[:, b * self.rows_per_band:(b + 1) * self.rows_per_band]
+                acc = seg[:, 0].copy()
+                for i in range(1, self.rows_per_band):
+                    acc = acc * np.uint64(0x9E3779B97F4A7C15) + seg[:, i]
+                bh[:, b] = _mix64(acc ^ np.uint64(b))
         return pa.table({
-            "doc_id": pa.array(out_doc, type=pa.int64()),
-            "signature": pa.array(out_sig, type=pa.list_(pa.uint64())),
-            "band_hashes": pa.array(out_bh, type=pa.list_(pa.string())),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "signature": pa.array(sig.tolist(), type=pa.list_(pa.uint64())),
+            "band_hashes": pa.array(bh.tolist(), type=pa.list_(pa.uint64())),
         })
 
 
@@ -590,20 +655,26 @@ class _NgramSigStage:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc, sh_out, bh_out = [], [], []
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch[self.text_col].to_pylist()):
-            sh = shingle_hashes(t, self.ngram)
-            sig = minhash_signature(sh, self.a, self.b)
-            bhs = [hashlib.sha1(sig[b * 4:(b + 1) * 4].tobytes()).hexdigest()[:16]
-                   for b in range(8)]
-            doc.append(d)
-            sh_out.append(sh.tolist())
-            bh_out.append(bhs)
+        ids = batch["doc_id"].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        n = len(ids)
+        shs = [shingle_hashes(t, self.ngram) for t in texts]
+        sig = np.empty((n, len(self.a)), dtype=np.uint64)
+        for i, sh in enumerate(shs):
+            sig[i] = minhash_signature(sh, self.a, self.b)
+        bh = np.empty((n, 8), dtype=np.uint64)
+        with np.errstate(over="ignore"):  # vectorized band mix (see MinHashStage)
+            for b in range(8):
+                seg = sig[:, b * 4:(b + 1) * 4]
+                acc = seg[:, 0].copy()
+                for i in range(1, 4):
+                    acc = acc * np.uint64(0x9E3779B97F4A7C15) + seg[:, i]
+                bh[:, b] = _mix64(acc ^ np.uint64(b))
         return pa.table({
-            "doc_id": pa.array(doc, type=pa.int64()),
-            "shingles": pa.array(sh_out, type=pa.list_(pa.uint64())),
-            "band_hashes": pa.array(bh_out, type=pa.list_(pa.string())),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "shingles": pa.array([s.tolist() for s in shs],
+                                 type=pa.list_(pa.uint64())),
+            "band_hashes": pa.array(bh.tolist(), type=pa.list_(pa.uint64())),
         })
 
 
