@@ -25,6 +25,22 @@ def token_hash64(token: str) -> int:
     return int.from_bytes(hashlib.sha1(token.encode("utf-8")).digest()[:8], "big")
 
 
+# worker-local token→hash cache: vocabulary is Zipfian, so most tokens
+# repeat across a worker's batches; bounded so a worker never holds an
+# unbounded vocabulary (same policy as the sign-matrix cache below)
+_TOKEN_H64: dict[str, int] = {}
+_TOKEN_H64_MAX = 1 << 20
+
+
+def token_hash64_cached(token: str) -> int:
+    h = _TOKEN_H64.get(token)
+    if h is None:
+        if len(_TOKEN_H64) >= _TOKEN_H64_MAX:
+            _TOKEN_H64.clear()
+        h = _TOKEN_H64[token] = token_hash64(token)
+    return h
+
+
 # token → row INDEX into one contiguous ±1 sign matrix (int8[·,64],
 # MSB-first); vocabulary is Zipfian so the cache hit rate is high across
 # pages within a worker process.  A single growable matrix + fancy-index

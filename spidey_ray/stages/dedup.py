@@ -21,7 +21,8 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.simhash import hamming_popcount, simhash64, token_hash64
+from ..functions.simhash import (hamming_popcount, simhash64, token_hash64,
+                                 token_hash64_cached)
 from .textstats import tokens_of
 
 # ---------------------------------------------------------------------------
@@ -97,21 +98,6 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-# per-token hash cache: vocabulary is Zipfian, so across a worker's batches
-# most tokens repeat; bounded so a worker never holds an unbounded vocab
-_TOKEN_H64: dict[str, int] = {}
-_TOKEN_H64_MAX = 1 << 20
-
-
-def _token_h64(tok: str) -> int:
-    h = _TOKEN_H64.get(tok)
-    if h is None:
-        if len(_TOKEN_H64) >= _TOKEN_H64_MAX:
-            _TOKEN_H64.clear()
-        h = _TOKEN_H64[tok] = token_hash64(tok)
-    return h
-
-
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Unique k-token shingle hashes. Per-token sha1-derived 64-bit hashes
     (cached) are combined per shingle by a degree-k polynomial in a fixed
@@ -124,7 +110,7 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     if len(toks) < k:
         s = " ".join(toks) if toks else ""
         return np.array([token_hash64(s)], dtype=np.uint64)
-    h = np.fromiter((_token_h64(t) for t in toks), dtype=np.uint64,
+    h = np.fromiter((token_hash64_cached(t) for t in toks), dtype=np.uint64,
                     count=len(toks))
     n = len(toks) - k + 1
     with np.errstate(over="ignore"):
@@ -577,17 +563,14 @@ def minhash_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    hs = []
-    for t in batch[text_col].to_pylist():
-        freq: dict[str, int] = {}
-        for tok in tokens_of(t):
-            freq[tok] = freq.get(tok, 0) + 1
-        hs.append(simhash64(freq))
-    out = pa.table({
+    from collections import Counter
+
+    hs = [simhash64(Counter(tokens_of(t)))
+          for t in batch[text_col].to_pylist()]
+    return pa.table({
         "doc_id": batch["doc_id"],
         "simhash": pa.array(hs, type=pa.uint64()),
     })
-    return out
 
 
 def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
@@ -598,18 +581,18 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
                           batch_format="pyarrow")
 
     def explode(t: pa.Table) -> pa.Table:
-        doc, band, key, sim = [], [], [], []
-        for d, h in zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist()):
-            for bandi in range(4):
-                doc.append(d)
-                band.append(bandi)
-                key.append((h >> (16 * bandi)) & 0xFFFF)
-                sim.append(h)
+        docs = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        hs = np.asarray(t["simhash"].to_pylist(), dtype=np.uint64)
+        n = len(docs)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        rep = np.repeat(hs, 4)
+        chunks = ((rep >> (np.uint64(16) * bands.astype(np.uint64)))
+                  & np.uint64(0xFFFF)).astype(np.int32)
         return pa.table({
-            "doc_id": pa.array(doc, type=pa.int64()),
-            "band": pa.array(band, type=pa.int32()),
-            "chunk": pa.array(key, type=pa.int32()),
-            "simhash": pa.array(sim, type=pa.uint64()),
+            "doc_id": pa.array(np.repeat(docs, 4)),
+            "band": pa.array(bands),
+            "chunk": pa.array(chunks),
+            "simhash": pa.array(rep),
         })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:

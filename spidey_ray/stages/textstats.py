@@ -15,7 +15,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.simhash import token_hash64
+from ..functions.simhash import token_hash64_cached
 
 TOKEN_RE = r"[a-z0-9']+"
 # BPE-ish word/number/punct splitter (public GPT-2-style pattern, simplified)
@@ -122,7 +122,8 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
     fps_min, fps_full = [], []
     B = np.uint64(1099511628211)
     for t in batch[text_col].to_pylist():
-        hs = np.array([token_hash64(tok) for tok in tokens_of(t)], dtype=np.uint64)
+        hs = np.fromiter((token_hash64_cached(tok) for tok in tokens_of(t)),
+                         dtype=np.uint64)
         n = len(hs)
         if n == 0:
             fps_min.append(0)
@@ -134,9 +135,13 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
             acc = np.zeros(n - w + 1, dtype=np.uint64)
             for j in range(w):
                 acc = acc * B + hs[j: n - w + 1 + j]
-            full = np.uint64(0)
-            for h in hs:
-                full = full * B + h
+            # full-stream hash Σ hs[i]·B^(n-1-i) mod 2^64: same value as the
+            # sequential Horner loop, via wrapped cumprod powers
+            pows = np.ones(n, dtype=np.uint64)
+            if n > 1:
+                np.cumprod(np.full(n - 1, B, dtype=np.uint64),
+                           out=pows[1:])
+            full = np.uint64((hs * pows[::-1]).sum())
         fps_min.append(int(acc.min()))
         fps_full.append(int(full))
     return pa.table({
