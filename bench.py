@@ -97,6 +97,12 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(total, steal) jiffies from /proc/stat — hypervisor-steal telemetry."""
+    vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+    return sum(vals), vals[7] if len(vals) > 7 else 0
+
+
 def main() -> None:
     import logging
 
@@ -109,8 +115,14 @@ def main() -> None:
     ray.data.DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
+    total0, steal0 = _cpu_stat()
     crawl = run_crawl(NUM_CPUS)
     queries = {} if CRAWL_ONLY else run_queries(SF_DIR)
+    total1, steal1 = _cpu_stat()
+    # this VM sees bursty hypervisor steal (BASELINE.md: ±15-20% run
+    # variance); report the run's own exposure so a slow sample is
+    # attributable — compare same-steal runs, prefer the least-stolen
+    steal_pct = round(100.0 * (steal1 - steal0) / max(1, total1 - total0), 2)
 
     print(json.dumps({
         "metric": "crawl_urls_fetched_parsed_per_sec",
@@ -122,6 +134,7 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "steal_pct": steal_pct,
     }))
     ray.shutdown()
 

@@ -333,6 +333,36 @@ class TestCuckoo:
         assert not f.contains(victims).any()
         assert not f.seen_or_add(victims).any()       # re-add allowed
 
+    def test_delta_replay_across_growth_membership_identical(self):
+        # delta checkpoints replay adds-then-deletes per round; replay on a
+        # fresh chain must reproduce membership even when the original
+        # crossed several segment-growth boundaries mid-round
+        from spidey_ray.state.cuckoo import ScalableCuckoo
+
+        rng = np.random.default_rng(11)
+        rounds = [rng.choice(np.arange(r * 4000, (r + 1) * 4000),
+                             size=3000, replace=False).astype(np.uint64)
+                  for r in range(5)]
+        live = ScalableCuckoo(1 << 8)       # grows several times over 15k keys
+        deltas = []
+        for r, keys in enumerate(rounds):
+            seen = live.seen_or_add(keys)
+            added = keys[~seen]
+            deleted = keys[::11][:50].astype(np.uint64)  # cancel some
+            live.delete(deleted)
+            deltas.append((added.copy(), deleted.copy()))
+        assert len(live.segments) > 2
+
+        replay = ScalableCuckoo(1 << 8)
+        for added, deleted in deltas:
+            replay.seen_or_add(added)
+            replay.delete(deleted)
+        allk = np.concatenate(rounds)
+        # identical membership answers (modulo nothing: same insert/delete
+        # sequence, same deterministic hash/growth schedule)
+        assert np.array_equal(live.contains(allk), replay.contains(allk))
+        assert replay.count == live.count
+
     def test_scalable_serialize_roundtrip_and_flat_compat(self):
         from spidey_ray.state.cuckoo import ScalableCuckoo
 
