@@ -252,10 +252,12 @@ class FrontierShard:
     def cancel(self, patterns: list[str]) -> list[bytes]:
         """Drop rows whose url matches any pattern; return their hashes so
         the driver can delete them from the seen set (frontier.py:85-88).
-        Spilled hosts are compacted first — cancels are rare (trap/query
-        patterns only) and must see every pending row."""
-        for host in list(self.spill_files):
-            self._compact(host)
+
+        Memory stays O(one spill file): each spilled file is filtered
+        through Arrow and rewritten under a FRESH name (never modified in
+        place — a checkpoint may still hard-link the old inode) instead of
+        compacting every spilled host into the heap at once, which would
+        transiently resident the entire pending frontier."""
         rx = re.compile("|".join(f"(?:{p})" for p in patterns))
         removed: list[bytes] = []
         for host in list(self.by_host):
@@ -270,6 +272,40 @@ class FrontierShard:
                 self.by_host[host] = keep
             else:
                 del self.by_host[host]
+        for host in list(self.spill_files):
+            newfiles: list[str] = []
+            n_sp = 0
+            smin: tuple | None = None
+            for f in self.spill_files[host]:
+                t = pq.read_table(f)
+                urls = t["url"].to_pylist()
+                mask = [rx.match(u) is None for u in urls]
+                if not all(mask):
+                    removed.extend(
+                        h for u, h in zip(urls, t["url_hash"].to_pylist())
+                        if rx.match(u))
+                    t = t.filter(pa.array(mask))
+                    os.unlink(f)
+                    if len(t) == 0:
+                        continue
+                    f = os.path.join(
+                        self.spill_dir,
+                        f"cancel-{self._nonce}-{self._spill_seq:06d}.parquet")
+                    self._spill_seq += 1
+                    pq.write_table(t, f)
+                newfiles.append(f)
+                n_sp += len(t)
+                fmin = min(zip((int(d) for d in t["depth"].to_pylist()),
+                               t["url"].to_pylist()))
+                smin = fmin if smin is None else min(smin, fmin)
+            if newfiles:
+                self.spill_files[host] = newfiles
+                self.n_spilled[host] = n_sp
+                self.spill_min[host] = smin
+            else:
+                self.spill_files.pop(host, None)
+                self.n_spilled.pop(host, None)
+                self.spill_min.pop(host, None)
         self.n -= len(removed)
         for host in list(self.by_host):
             self._maybe_spill(host)

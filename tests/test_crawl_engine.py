@@ -463,6 +463,42 @@ class TestFrontierSpill:
             == expected[:25]
         assert ray.get(shard.count.remote()) == 5
 
+    def test_cancel_filters_spill_without_compacting(self, ray_session,
+                                                     tmp_path):
+        """cancel() must drop matching SPILLED rows file-by-file (bounded
+        memory), keep counts/spill-min consistent, and admission must still
+        return the exact canonical prefix afterward."""
+        import os
+
+        import pyarrow as pa
+        import ray
+
+        from spidey_ray.state.frontier import FrontierShard
+
+        spill = str(tmp_path / "sp")
+        shard = FrontierShard.remote(spill_dir=spill, mem_rows_per_host=8)
+        rows = {
+            "url": [f"https://h.example.com/p/{i:03d}" for i in range(40)],
+            "url_hash": [bytes([i]) * 20 for i in range(40)],
+            "host": ["h.example.com"] * 40,
+            "depth": [i % 4 for i in range(40)],
+            "parent_url": [""] * 40,
+            "round_added": [0] * 40,
+        }
+        ray.get(shard.add.remote(pa.table(rows)))
+        # cancel every url ending in an odd digit (hits mem AND spill rows)
+        removed = ray.get(shard.cancel.remote([r".*[13579]$"]))
+        surviving = [(d, u) for d, u in zip(rows["depth"], rows["url"])
+                     if not u.endswith(("1", "3", "5", "7", "9"))]
+        assert len(removed) == 40 - len(surviving)
+        assert ray.get(shard.count.remote()) == len(surviving)
+        # spill dir still holds files (no full compaction happened)
+        assert any(f.endswith(".parquet") for f in os.listdir(spill))
+        got = ray.get(shard.admit.remote({"h.example.com": len(surviving)}))
+        assert list(zip(got["depth"].to_pylist(), got["url"].to_pylist())) \
+            == sorted(surviving)
+        assert ray.get(shard.count.remote()) == 0
+
 
 class TestRetryIdempotency:
     def test_round_stage_rerun_overwrites_same_sidefile(self, ray_session,
