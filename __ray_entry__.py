@@ -878,6 +878,26 @@ def q_ivf_ann(sf_dir: str):
     })
 
 
+
+def q_hnsw_ann(sf_dir: str):
+    """Sharded HNSW graph ANN over the embeddings table (rows-only: each
+    shard's graph is built in a parallel task and lives in the object
+    store; queries fan out per shard and merge top-k)."""
+    from spidey_ray.stages.similarity import HnswIndex
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = emb.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    idx = HnswIndex(n_shards=4, ef_search=64).build(emb)
+    hits = idx.search(np.array(q0["embedding"].iloc[0], dtype=np.float64), k=10)
+    return pa.table({
+        "rank": pa.array(range(1, len(hits) + 1), type=pa.int64()),
+        "vec_id": pa.array([h[0] for h in hits], type=pa.int64()),
+        "cosine": pa.array([h[1] for h in hits], type=pa.float64()),
+    })
+
+
 def q_price_quantiles(sf_dir: str):
     """Exact distributed order statistics over orders.o_totalprice
     (SQL-checked: both sides pick rank floor(q·(n−1)) with the same
@@ -1068,6 +1088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q_doc_fingerprints,
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
+        "hnsw_ann": q_hnsw_ann,
         "approx_distinct": q_approx_distinct,
         "media_features": q_media_features,
         "media_phash_pairs": q_media_phash_pairs,

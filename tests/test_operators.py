@@ -404,6 +404,64 @@ class TestProductQuantization:
         assert all(-1.0 <= c <= 1.0001 for _, c in out)
 
 
+class TestHnsw:
+    @pytest.fixture()
+    def clustered_ds(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(17)
+        centers = rng.standard_normal((8, 16)) * 3
+        rows = []
+        for i in range(400):
+            c = centers[i % 8]
+            rows.append({"vec_id": i,
+                         "embedding": (c + rng.normal(0, 0.3, 16)).tolist()})
+        return ray.data.from_items(rows)
+
+    def test_recall_vs_exact(self, clustered_ds):
+        from spidey_ray.stages.similarity import HnswIndex, cosine_topk
+
+        df = clustered_ds.to_pandas()
+        idx = HnswIndex(n_shards=4, ef_search=64).build(clustered_ds)
+        hits = total = 0
+        for probe in (0, 3, 5):
+            q = np.asarray(df["embedding"].iloc[probe])
+            exact = set(cosine_topk(clustered_ds, q, k=10).to_pandas()["vec_id"])
+            ann = set(v for v, _ in idx.search(q, k=10))
+            hits += len(exact & ann)
+            total += 10
+        # every shard is beam-searched, so sharded recall ≈ single-graph
+        assert hits / total >= 0.9
+
+    def test_graphs_live_in_object_store(self, clustered_ds):
+        import ray as _ray
+
+        from spidey_ray.stages.similarity import HnswIndex
+
+        idx = HnswIndex(n_shards=4).build(clustered_ds)
+        # driver holds ONLY shard refs — the graphs (and vectors) live in
+        # the object store
+        assert len(idx._shard_refs) == 4
+        assert all(isinstance(r, _ray.ObjectRef) for r in idx._shard_refs)
+        q = np.asarray(clustered_ds.to_pandas()["embedding"].iloc[0])
+        out = idx.search(q, k=5)
+        assert len(out) == 5
+        assert all(-1.0 <= c <= 1.0001 for _, c in out)
+
+    def test_single_graph_quality(self, ray_session):
+        # direct graph check: the planted near-duplicate must be the top
+        # non-self hit
+        from spidey_ray.stages.similarity import _HnswGraph, _unit
+
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((300, 16))
+        vecs[250] = vecs[7] + rng.normal(0, 0.001, 16)
+        u = _unit(vecs)
+        g = _HnswGraph(u, np.arange(300), m=8, ef_construction=60)
+        hits = g.search(u[7], k=3, ef=50)
+        assert hits[0][0] == 7 and hits[1][0] == 250
+
+
 class TestConnectedComponents:
     def test_components_and_chain_match_union_find(self, ray_session):
         """Star/clique components plus a 9-node chain (multiple pointer-jump
