@@ -164,6 +164,34 @@ def admit_round(
     return admitted, new_clocks
 
 
+def admit_count(n_cands: int, clock0: float, delay: float, round_k: int,
+                window: float) -> tuple[int, float]:
+    """Single-host admission count: how many of ``n_cands`` pending URLs
+    the politeness clock admits this round, and the updated clock.
+
+    Performs the SAME float operations in the SAME order as
+    :func:`admit_round` restricted to one host (max, then repeated
+    addition), so the resulting clock is bit-identical to the oracle's —
+    but runs O(admitted) ≤ ~window/delay iterations instead of building
+    an O(pending-per-host) candidate list (pending per host can be
+    millions at corpus scale; admitted per round cannot exceed
+    window/delay ≈ 80)."""
+    t_start = round_k * window
+    t_end = t_start + window
+    clock = max(clock0, t_start)
+    if clock >= t_end:
+        return 0, clock
+    if delay <= 0.0:
+        # zero delay admits every candidate without advancing the clock
+        # (clock + 0.0 · n is the same float) — keep this O(1)
+        return n_cands, clock
+    k = 0
+    while k < n_cands and clock < t_end:
+        k += 1
+        clock = clock + delay
+    return k, clock
+
+
 def host_shard_of(host: str, n_shards: int) -> int:
     return int.from_bytes(hashlib.sha1(host.encode()).digest()[:4], "big") % n_shards
 
@@ -262,13 +290,11 @@ class HostShard:
         out = {}
         for host, n_cands in cands_by_host.items():
             state = self._get(host)
-            ordered = [("", host)] * n_cands
-            admitted, clocks = admit_round(
-                ordered, {host: state.clock}, {host: state.delay(self.settings)},
+            n_adm, state.clock = admit_count(
+                n_cands, state.clock, state.delay(self.settings),
                 round_k, self.settings.round_window,
             )
-            state.clock = clocks[host]
-            out[host] = len(admitted)
+            out[host] = n_adm
         return out
 
     def count_urls(self, counts: dict[str, int]) -> None:

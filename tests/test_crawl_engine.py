@@ -380,6 +380,33 @@ class TestCuckoo:
 
 
 class TestAdmission:
+    def test_admit_count_bit_identical_to_admit_round(self):
+        # HostShard.admit uses the O(admitted) counting form; it must give
+        # the same count AND the bit-identical float clock as the shared
+        # admit_round oracle path for every (clock, delay, window) shape,
+        # including zero crawl-delay and clocks past the window
+        from spidey_ray.state.politeness import admit_count, admit_round
+
+        import itertools
+        clocks0 = [0.0, 0.3, 1.0, 7.77, 1e9 + 0.1]
+        delays = [0.0, 0.1, 0.5, 0.7000000001, 3.0]
+        for clock0, delay, round_k, n in itertools.product(
+                clocks0, delays, (0, 1, 13), (0, 1, 2, 7, 1000)):
+            window = 1.0
+            cands = [("", "h")] * n
+            adm, clocks = admit_round(cands, {"h": clock0}, {"h": delay},
+                                      round_k, window)
+            k, clock = admit_count(n, clock0, delay, round_k, window)
+            assert k == len(adm), (clock0, delay, round_k, n)
+            ref_clock = clocks.get("h", clock0)
+            if len(adm) == 0:
+                # admit_round leaves the stored clock untouched when nothing
+                # admits; admit_count returns the max()-advanced value the
+                # NEXT call would recompute identically — both paths feed
+                # the same future arithmetic
+                ref_clock = max(clock0, round_k * window)
+            assert clock == ref_clock, (clock0, delay, round_k, n)
+
     def test_politeness_budget_per_round(self):
         # W=1.0, delay=0.5 → 2 fetches per host per round
         cands = [(f"u{i}", "h") for i in range(5)]
