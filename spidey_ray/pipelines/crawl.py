@@ -472,34 +472,26 @@ class CrawlEngine:
 
         # ---- 1. politeness admission ----
         # frontier shard i and politeness shard i own the same hosts
-        # (host_shard_of routing): counts flow shard→shard via the driver;
-        # only per-host COUNTS and the admitted window (O(round)) move.
-        shard_counts = self.frontier.host_counts_per_shard()
-        self._round_rows_in = sum(sum(c.values()) for c in shard_counts)
+        # (host_shard_of routing): counts flow SHARD→SHARD directly
+        # (FrontierShard.admit_with calls its aligned HostShard); only the
+        # admitted window (O(round)) and a per-shard 3-field telemetry
+        # dict reach the driver — never the O(#hosts) count map.
+        admitted, shard_stats = self.frontier.admit_with(
+            self.host_shards, round_k)
+        self._round_rows_in = sum(s["rows_in"] for s in shard_stats)
         # skew telemetry: per-shard pending rows + the round's hottest host
         # (north_rule "salted splits for hot domains": the round stage's
         # uniform driver-side slicing already spreads a hot host's admitted
-        # rows across all blocks — this records the skew so lineage shows it)
-        self._rows_in_per_shard = [int(sum(c.values())) for c in shard_counts]
-        _host_tot: dict[str, int] = {}
-        for c in shard_counts:
-            for h, n in c.items():
-                _host_tot[h] = _host_tot.get(h, 0) + n
+        # rows across all blocks — this records the skew so lineage shows
+        # it). Each host lives in exactly one shard, so the global hot host
+        # is the max over per-shard hot hosts — exact, not approximate.
+        self._rows_in_per_shard = [int(s["rows_in"]) for s in shard_stats]
         self._hot_host, self._hot_host_rows = ("", 0)
-        if _host_tot:
-            hh = max(_host_tot, key=lambda h: (_host_tot[h], h))
-            self._hot_host, self._hot_host_rows = hh, int(_host_tot[hh])
-        admit_refs = {
-            i: shard.admit.remote(counts, round_k)
-            for i, (shard, counts) in enumerate(
-                zip(self.host_shards, shard_counts))
-            if counts
-        }
-        n_admit_per_shard: list[dict[str, int]] = [
-            dict() for _ in range(self.n_host_shards)]
-        for i, ref in admit_refs.items():
-            n_admit_per_shard[i] = ray.get(ref)
-        admitted = self.frontier.admit(n_admit_per_shard)
+        hot = [(s["hot_rows"], s["hot_host"]) for s in shard_stats
+               if s["hot_rows"]]
+        if hot:
+            n, h = max(hot)
+            self._hot_host, self._hot_host_rows = h, int(n)
         admitted = admitted.sort_values(
             ["depth", "url"], kind="mergesort").reset_index(drop=True)
         t = self._t("admit", t)

@@ -311,6 +311,24 @@ class FrontierShard:
             self._maybe_spill(host)
         return removed
 
+    def admit_with(self, host_shard, round_k: int) -> tuple[pa.Table, dict]:
+        """Full admission step for this shard WITHOUT driver mediation:
+        per-host pending counts go straight to the aligned politeness
+        shard (same ``host_shard_of`` partition), the granted window comes
+        back, and only the admitted prefix (O(round)) plus a 3-field
+        telemetry dict ever reach the driver.  The old flow shipped every
+        (host, count) pair through the driver each round — O(#hosts)
+        driver traffic at corpus scale."""
+        counts = self.host_counts()
+        stats = {"rows_in": int(sum(counts.values())),
+                 "hot_host": "", "hot_rows": 0}
+        if not counts:
+            return _rows_table([]), stats
+        hh = max(counts, key=lambda h: (counts[h], h))
+        stats["hot_host"], stats["hot_rows"] = hh, int(counts[hh])
+        n_admit = ray.get(host_shard.admit.remote(counts, round_k))
+        return self.admit(n_admit), stats
+
     def count(self) -> int:
         return self.n
 
@@ -410,6 +428,22 @@ class ShardedFrontier:
         if not tabs:
             return pa.concat_tables([_rows_table([])]).to_pandas()
         return pa.concat_tables(tabs).to_pandas()
+
+    def admit_with(self, host_shards: list,
+                   round_k: int) -> tuple[pd.DataFrame, list[dict]]:
+        """Shard-parallel direct admission (see FrontierShard.admit_with):
+        returns (admitted rows, per-shard telemetry). ``host_shards[i]``
+        must own the same hosts as frontier shard i (both use
+        ``host_shard_of`` routing)."""
+        parts = ray.get([
+            s.admit_with.remote(hs, round_k)
+            for s, hs in zip(self.shards, host_shards)
+        ])
+        tabs = [t for t, _ in parts if len(t)]
+        stats = [st for _, st in parts]
+        if not tabs:
+            return pa.concat_tables([_rows_table([])]).to_pandas(), stats
+        return pa.concat_tables(tabs).to_pandas(), stats
 
     def cancel(self, patterns: list[str]) -> list[bytes]:
         outs = ray.get([s.cancel.remote(patterns) for s in self.shards])
