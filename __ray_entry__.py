@@ -501,6 +501,21 @@ def q_sessionize(sf_dir: str):
     return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
+
+def q_events_lag(sf_dir: str):
+    """Per-user LAG time delta over the events stream (window-function
+    exposure with a full SQL oracle; first event per user -> -1)."""
+    from spidey_ray.stages.windows import lag_delta
+
+    out = lag_delta(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        "user_id", "ts", "event_id",
+    ).to_pandas()
+    for c in ("user_id", "event_id", "ts_us", "delta_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def q_events_tumbling(sf_dir: str):
     """2-hour tumbling windows per event_type (combiner shape: per-block
     window partials, then a small groupby)."""
@@ -1063,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filter": q_events_filter,
         "events_pivot": q_events_pivot,
         "sessionize": q_sessionize,
+        "events_lag": q_events_lag,
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_events_hopping,
         "asof_join": q_asof_join,
@@ -1237,6 +1253,14 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as n_purchase,
                    cast(sum(case when event_type = 'signup' then 1 else 0 end) as bigint) as n_signup
             from events group by user_id order by user_id
+        """,
+        "events_lag": """
+            select user_id, event_id, cast(epoch_us(ts) as bigint) as ts_us,
+                   cast(coalesce(
+                       epoch_us(ts) - lag(epoch_us(ts)) over
+                           (partition by user_id order by ts, event_id),
+                       -1) as bigint) as delta_us
+            from events
         """,
         "sessionize": """
             with e as (

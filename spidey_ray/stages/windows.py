@@ -240,3 +240,45 @@ def sessionize(
 
     return ds.map_batches(tag, batch_format="pandas").groupby(
         "_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def lag_delta(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    id_col: str,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Per-key LAG delta: for every event, microseconds since the same
+    key's previous event (first event per key → -1).  One output row per
+    input event: (key, id_col, ts_us, delta_us).
+
+    Same fat-bucket shape as :func:`sessionize`: ``hash(key) %
+    num_buckets`` is the only shuffle key; inside a bucket one mergesort +
+    one vectorized diff computes every key's lags at once (key-change
+    boundaries masked) — never one group per key.  Ties on the timestamp
+    break by ``id_col`` so the lag order is total and oracle-comparable."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = _bucket_col(df[key], num_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        us = (
+            (g[ts_col] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+        ).astype("int64").to_numpy()
+        k = g[key].to_numpy()
+        delta = np.full(len(g), -1, dtype=np.int64)
+        if len(g) > 1:
+            delta[1:] = np.where(k[1:] == k[:-1], us[1:] - us[:-1], -1)
+        return pd.DataFrame({
+            key: k,
+            id_col: g[id_col].to_numpy(),
+            "ts_us": us,
+            "delta_us": delta,
+        })
+
+    return ds.map_batches(tag, batch_format="pandas").groupby(
+        "_bucket").map_groups(per_bucket, batch_format="pandas")

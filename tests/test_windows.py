@@ -135,3 +135,52 @@ class TestHoppingWindows:
         us = int((t0 - pd.Timestamp(0)) / pd.Timedelta(microseconds=1))
         for w in out["window_start_us"]:
             assert w <= us < w + 3600 * 1_000_000
+
+
+class TestLagDelta:
+    def test_matches_pandas_groupby_shift(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from spidey_ray.stages.windows import lag_delta
+
+        rng = np.random.default_rng(23)
+        n = 2000
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 50, n).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+        })
+        out = (lag_delta(ray.data.from_pandas(df), "user_id", "ts", "event_id")
+               .to_pandas().sort_values(["user_id", "event_id"])
+               .reset_index(drop=True))
+        ref = df.sort_values(["user_id", "ts", "event_id"],
+                             kind="mergesort").copy()
+        us = ((ref["ts"] - pd.Timestamp(0))
+              // pd.Timedelta(microseconds=1)).astype("int64")
+        ref["delta_us"] = (us - us.groupby(ref["user_id"]).shift(1)
+                           ).fillna(-1).astype("int64")
+        # duplicate (user, ts) pairs exist with prob ~0 here, but the
+        # tie-break is part of the contract: compare on (user, event) keys
+        ref = ref.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        assert (out["delta_us"].to_numpy()
+                == ref["delta_us"].to_numpy()).all()
+        assert len(out) == n
+
+    def test_first_event_per_key_is_minus_one(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.windows import lag_delta
+
+        df = pd.DataFrame({
+            "event_id": [1, 2, 3, 4],
+            "user_id": [7, 7, 8, 8],
+            "ts": pd.to_datetime([
+                "2024-01-01 10:00", "2024-01-01 10:05",
+                "2024-01-01 09:00", "2024-01-01 09:00",  # exact tie → id order
+            ]),
+        })
+        out = (lag_delta(ray.data.from_pandas(df), "user_id", "ts", "event_id")
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        assert out["delta_us"].tolist() == [-1, 300_000_000, -1, 0]
