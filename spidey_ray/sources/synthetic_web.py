@@ -72,9 +72,27 @@ def _rng(cfg: WebConfig, *key) -> random.Random:
     return random.Random(f"{cfg.seed}:{':'.join(map(str, key))}")
 
 
+_WORDS_ARR = None
+
+
 def _para(cfg: WebConfig, key: str, n_tokens: int) -> str:
-    rng = _rng(cfg, "para", key)
-    return " ".join(rng.choice(_WORDS) for _ in range(n_tokens))
+    """Deterministic filler paragraph.  Vectorized draw (one PCG64 seeded
+    from the stable key, one integers() call, one join) — the old
+    per-token ``random.choice`` was ~60% of the synthetic fetch cost,
+    which runs inside the bench fetch workers and was masking engine
+    parse time in the headline measurement."""
+    global _WORDS_ARR
+    if _WORDS_ARR is None:
+        import numpy as _np
+
+        _WORDS_ARR = _np.array(_WORDS)
+    import zlib as _zlib
+
+    import numpy as _np
+
+    seed = _zlib.crc32(f"{cfg.seed}:para:{key}".encode())
+    idx = _np.random.default_rng(seed).integers(0, len(_WORDS), n_tokens)
+    return " ".join(_WORDS_ARR[idx].tolist())
 
 
 def _host_index(cfg: WebConfig, netloc: str) -> int | None:
