@@ -186,6 +186,235 @@ def _basename_title(url: str) -> str:
     return os.path.split(urlparse(url).path)[-1].strip()
 
 
+# ---------------------------------------------------------------------------
+# fast event scanner
+# ---------------------------------------------------------------------------
+# Drives the SAME _SpanExtractor handler methods as html.parser's feed(),
+# but with one regex match per tag and charref conversion only when '&'
+# is present — html.parser's goahead() character loop was ~half the parse
+# cost of the crawl hot path.  Semantics replicated from html.parser with
+# convert_charrefs=True: data charrefs unescaped (except inside
+# script/style rawtext), tag/attr names lowercased, quoted '>' inside
+# attribute values honored, bogus comments (<!x>, </ x>) → handle_comment,
+# doctype / <![...]> / <?...> → no event (stdlib handlers are no-ops, so
+# they do not split text nodes), stray '<' → data.  parse_document falls
+# back to the stdlib parser if the scanner raises, and the differential
+# test suite asserts span-sequence equality between both paths over the
+# synthetic web and adversarial markup.
+
+import re as _re
+
+from html.parser import attrfind_tolerant as _ATTRFIND
+from html.parser import endtagfind as _ENDTAGFIND
+from html.parser import locatestarttagend_tolerant as _LOCATE
+from html.parser import tagfind_tolerant as _TAGFIND
+
+# strict fast-path grammar: clean well-formed start tags only — anything
+# else falls through to the exact stdlib-mirror slow path below
+_SIMPLE_START = _re.compile(
+    r'<([a-zA-Z][a-zA-Z0-9]*)'
+    r'((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*'
+    r'(?:\s*=\s*(?:"[^"<]*"|\'[^\'<]*\'|[^\s<>\'"/=`]+))?)*)'
+    r'\s*(/?)>'
+)
+_SCAN_ATTR = _re.compile(
+    r'([^\s/=>]+)(?:\s*=\s*("[^"]*"|\'[^\']*\'|[^\s>]*))?')
+_RAWTEXT_END = {
+    "script": _re.compile(r'</\s*script', _re.I),
+    "style": _re.compile(r'</\s*style', _re.I),
+}
+_COMMENT_CLOSE = _re.compile(r'--\s*>')        # stdlib allows '--  >'
+_LETTERS_EQ_SLASH = frozenset(
+    "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+# tags whose attributes the extractor actually reads — the strict fast path
+# skips attr parsing for every other tag (class-soup pages pay nothing)
+_ATTR_TAGS = frozenset({"a"}) | MEDIA_TAGS
+
+
+def _unesc(s: str) -> str:
+    if "&" in s:
+        from html import unescape
+
+        return unescape(s)
+    return s
+
+
+def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
+    out = []
+    for m in _SCAN_ATTR.finditer(raw):
+        name = m.group(1).lower()
+        val = m.group(2)
+        if val is None:
+            out.append((name, None))
+            continue
+        if val[:1] in ('"', "'") and val[-1:] == val[:1]:
+            val = val[1:-1]
+        out.append((name, _unesc(val)))
+    return out
+
+
+def _incomplete(x: "_SpanExtractor", content: str, lt: int, find) -> int:
+    """stdlib recovery for an incomplete markup construct (goahead's
+    end-phase): emit data up to and including the next '>', else up to the
+    next '<', else one char — and keep scanning."""
+    gt = find(">", lt + 1)
+    if gt >= 0:
+        end = gt + 1
+    else:
+        lt2 = find("<", lt + 1)
+        end = lt2 if lt2 >= 0 else lt + 1
+    x.handle_data(_unesc(content[lt:end]))
+    return end
+
+
+def _starttag_mirror(x: "_SpanExtractor", content: str, lt: int,
+                     find) -> tuple[int, str | None, bool]:
+    """Exact mirror of HTMLParser.parse_starttag/check_for_whole_start_tag
+    (tolerant grammar: '/' as attr separator, '<' legal inside tag names),
+    using the stdlib's own compiled regexes. Returns
+    (newpos, started_tag_or_None, self_closing)."""
+    m = _LOCATE.match(content, lt)
+    j = m.end()
+    nx = content[j:j + 1]
+    if nx == ">":
+        endpos = j + 1
+    elif nx == "/":
+        if content.startswith("/>", j):
+            endpos = j + 2
+        else:
+            return _incomplete(x, content, lt, find), None, False
+    elif nx == "" or nx in _LETTERS_EQ_SLASH:
+        return _incomplete(x, content, lt, find), None, False
+    else:
+        endpos = j if j > lt else lt + 1
+    tm = _TAGFIND.match(content, lt + 1)
+    tag = tm.group(1).lower()
+    k = tm.end()
+    attrs = []
+    while k < endpos:
+        am = _ATTRFIND.match(content, k)
+        if not am:
+            break
+        name, rest, val = am.group(1, 2, 3)
+        if not rest:
+            val = None
+        elif val[:1] == "'" == val[-1:] or val[:1] == '"' == val[-1:]:
+            val = val[1:-1]
+        if val:
+            val = _unesc(val)
+        attrs.append((name.lower(), val))
+        k = am.end()
+    end = content[k:endpos].strip()
+    if end not in (">", "/>"):
+        x.handle_data(content[lt:endpos])   # bogus tail: raw data (stdlib)
+        return endpos, None, False
+    if end.endswith("/>"):
+        x.handle_startendtag(tag, attrs)
+        return endpos, None, False
+    x.handle_starttag(tag, attrs)
+    return endpos, tag, False
+
+
+def _fast_feed(x: "_SpanExtractor", content: str) -> None:
+    pos, n = 0, len(content)
+    find = content.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            x.handle_data(_unesc(content[pos:]))
+            return
+        if lt > pos:
+            x.handle_data(_unesc(content[pos:lt]))
+        nxt = content[lt + 1:lt + 2]
+        if nxt.isalpha():
+            m = _SIMPLE_START.match(content, lt)
+            if m is not None:
+                tag = m.group(1).lower()
+                raw_attrs = m.group(2)
+                attrs = (_parse_attrs(raw_attrs)
+                         if raw_attrs and tag in _ATTR_TAGS else [])
+                pos = m.end()
+                if m.group(3):
+                    x.handle_startendtag(tag, attrs)
+                    continue
+                x.handle_starttag(tag, attrs)
+            else:
+                pos, tag, _sc = _starttag_mirror(x, content, lt, find)
+                if tag is None:
+                    continue
+            endrx = _RAWTEXT_END.get(tag)
+            if endrx is not None:               # script/style rawtext
+                start = pos
+                while True:
+                    em = endrx.search(content, pos)
+                    if em is None:              # unterminated rawtext: the
+                        return                  # stdlib parser DROPS it
+                    tm = _ENDTAGFIND.match(content, em.start())
+                    if tm is not None and tm.group(1).lower() == tag:
+                        break                   # strict end tag only;
+                    pos = em.start() + 2        # '</script x>' stays rawtext
+                if em.start() > start:          # no charref conversion here
+                    x.handle_data(content[start:em.start()])
+                x.handle_endtag(tag)
+                pos = tm.end()
+        elif nxt == "/":
+            m = _ENDTAGFIND.match(content, lt)
+            if m is not None:
+                x.handle_endtag(m.group(1).lower())
+                pos = m.end()
+                continue
+            gt = find(">", lt + 1)
+            if gt < 0:
+                pos = _incomplete(x, content, lt, find)
+                continue
+            nm = _TAGFIND.match(content, lt + 2)
+            if nm is not None:                  # junk after name: consume
+                gt2 = find(">", nm.end())       # to the first '>' (stdlib)
+                x.handle_endtag(nm.group(1).lower())
+                pos = (gt2 + 1) if gt2 >= 0 else n
+            elif content.startswith("</>", lt):
+                pos = lt + 3                    # '</>' is silently dropped
+            else:                               # '</ x>' → bogus comment
+                x.handle_comment(content[lt + 2:gt])
+                pos = gt + 1
+        elif nxt == "!":
+            if content.startswith("<!--", lt):
+                em = _COMMENT_CLOSE.search(content, lt + 4)
+                if em is None:                  # incomplete → data recovery
+                    pos = _incomplete(x, content, lt, find)
+                    continue
+                x.handle_comment(content[lt + 4:em.start()])
+                pos = em.end()
+            elif content.startswith("<![", lt):
+                end = find("]>", lt + 3)        # unknown_decl → no event
+                if end < 0:
+                    pos = _incomplete(x, content, lt, find)
+                    continue
+                pos = end + 2
+            elif content[lt + 2:lt + 9].lower() == "doctype":
+                gt = find(">", lt)              # handle_decl → no event
+                if gt < 0:
+                    pos = _incomplete(x, content, lt, find)
+                    continue
+                pos = gt + 1
+            else:                               # '<!x>' → bogus comment
+                gt = find(">", lt + 2)
+                if gt < 0:
+                    pos = _incomplete(x, content, lt, find)
+                    continue
+                x.handle_comment(content[lt + 2:gt])
+                pos = gt + 1
+        elif nxt == "?":
+            gt = find(">", lt)                  # handle_pi → no event
+            if gt < 0:
+                pos = _incomplete(x, content, lt, find)
+                continue
+            pos = gt + 1
+        else:                                   # stray '<' (incl. EOF)
+            x.handle_data("<")
+            pos = lt + 1
+
+
 def tokenized_len(text: str) -> int:
     """len of the space-joined token stream the filter writes per span
     (Filter.py:77: ``elemText += token + " "``).
@@ -213,14 +442,31 @@ def tokenized_len(text: str) -> int:
     return total
 
 
+FAST_PARSE = True   # differential tests flip this to compare both paths
+
+
 def parse_document(content: str, url: str, encoding: str = "utf-8") -> ParsedDoc:
     """Parse one page into its interleaved span sequence."""
     extractor = _SpanExtractor(url)
-    try:
-        extractor.feed(content)
-        extractor.close()
-    except Exception:
-        pass  # lenient, like bs4 on broken markup
+    if FAST_PARSE:
+        try:
+            _fast_feed(extractor, content)
+            extractor._flush_data()
+        except Exception:
+            # scanner tripped on markup it doesn't model: redo the page
+            # through the stdlib parser (fresh extractor, same handlers)
+            extractor = _SpanExtractor(url)
+            try:
+                extractor.feed(content)
+                extractor.close()
+            except Exception:
+                pass
+    else:
+        try:
+            extractor.feed(content)
+            extractor.close()
+        except Exception:
+            pass  # lenient, like bs4 on broken markup
 
     urlpath = urlparse(url).path
     if urlpath.endswith("/") or urlpath.endswith("~"):

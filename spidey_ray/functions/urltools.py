@@ -87,7 +87,31 @@ def sort_by_query(link: str) -> str:
     return link
 
 
+_ABS_BASE: tuple[str, str] | None = None        # (page_url, scheme://netloc)
+_SIMPLE_ABS = re.compile(r"[a-z][a-z0-9+.-]*://[^#]*$")  # urljoin lowercases
+                                                         # schemes: uppercase
+                                                         # falls through
+_SIMPLE_REL = re.compile(r"/[^/#?.]?[^#?]*$")   # root-relative, no . segments
+
+
 def absolute_url(page_url: str, outlink_url: str) -> str:
+    """``urldefrag(urljoin(...))`` with fast paths for the two shapes that
+    dominate real link graphs — already-absolute URLs and clean
+    root-relative paths — because stdlib urljoin re-parses the (constant)
+    base for every one of a page's links and was half the hub-page parse
+    cost.  Anything else (relative paths, dot segments, queries,
+    fragments, scheme-relative) takes the exact stdlib path."""
+    if _SIMPLE_ABS.match(outlink_url):
+        return outlink_url
+    if (_SIMPLE_REL.match(outlink_url) and not outlink_url.startswith("//")
+            and "/." not in outlink_url):    # dot segments need urljoin
+        global _ABS_BASE
+        if _ABS_BASE is None or _ABS_BASE[0] != page_url:
+            p = urlparse(page_url)
+            if p.scheme not in ("http", "https"):
+                return urldefrag(urljoin(page_url, outlink_url))[0]
+            _ABS_BASE = (page_url, f"{p.scheme}://{p.netloc}")
+        return _ABS_BASE[1] + outlink_url
     return urldefrag(urljoin(page_url, outlink_url))[0]
 
 
