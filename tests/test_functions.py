@@ -275,3 +275,89 @@ class TestSpanParser:
         doc = parse_document(xml, "https://h.example.com/sitemap.xml")
         assert doc.is_sitemap
         assert doc.links == ["https://h.example.com/p/1"]
+
+
+class TestFastParserDifferential:
+    """The fast event scanner must be observationally identical to the
+    stdlib html.parser path for everything parse_document exposes."""
+
+    @staticmethod
+    def _key(d):
+        return (d.title, [(s.kind, s.text, s.media_ref, s.offset)
+                          for s in d.spans],
+                d.tag_count, d.is_sitemap, d.is_html)
+
+    def _compare(self, content, url="https://h0.example.com/p/1"):
+        import spidey_ray.functions.htmlspans as hs
+
+        try:
+            hs.FAST_PARSE = True
+            a = self._key(hs.parse_document(content, url))
+            hs.FAST_PARSE = False
+            b = self._key(hs.parse_document(content, url))
+        finally:
+            hs.FAST_PARSE = True
+        assert a == b, content[:200]
+
+    def test_synthetic_web_pages_identical(self):
+        from spidey_ray.sources import synthetic_web as sw
+
+        cfg = sw.WebConfig(n_hosts=12, pages_per_host=10, branching=3,
+                           cross_links=2, tokens_per_page=120, n_seeds=12)
+        for h in range(12):
+            host = cfg.host(h)
+            for path in [f"https://{host}/"] + [
+                    f"https://{host}/p/{j}" for j in range(10)] + [
+                    f"https://{host}/sitemap.xml",
+                    f"https://{host}/sitemap.txt"]:
+                try:
+                    p = sw.fetch(cfg, path)
+                except Exception:
+                    continue
+                if p.status == 200 and p.content:
+                    self._compare(p.content, path)
+
+    def test_adversarial_soup_identical(self):
+        import random
+
+        rng = random.Random(99)
+        pieces = [
+            "<p>", "</p>", "<a href='x.html'>", '<a href="y&amp;.html">',
+            "</a>", "text &amp; more", "a < b", "<!-- c -- >", "<!-- c -->",
+            "<!doctype html>", "<![CDATA[zz]]>", "<?php echo ?>", "<br/>",
+            "<img src=z.png alt='A&gt;B'>", "</ bogus>", "</>", "<b",
+            "<script>var a = '<p>not a tag</p>';</script>", "&#65;&#x42;",
+            "<title>T&amp;T</title>", "<SCRIPT>x</SCRIPT>",
+            "<style>.a{content:'</x>'}</style>", "<td class=wide colspan='2'>",
+            "<a href=>empty</a>", "&notsemi", "<em>nest<strong>ed</strong></em>",
+            "plain ' quote\" here", "<a href='#frag'>f</a>",
+            "<loc>https://h0.example.com/p/1</loc>", "<x:y>ns</x:y>",
+            "< notatag>", "<1x>", "<a href='p?b=2&a=1'>q</a>",
+            "<script>no end", "</scriptx>", "<script></scriptx></script>",
+            "<!--unterminated", "<![CDATA[open", "<?pi open", "<!bogus>",
+            "<!BOGUS no close", "</b junk*>", "<a/b>", "<p =wat>",
+            "<a href='x' / >t</a>",
+        ]
+        for _ in range(1500):
+            content = "".join(rng.choice(pieces)
+                              for _ in range(rng.randint(1, 20)))
+            if rng.random() < 0.25:
+                content = content[:rng.randint(0, len(content))]
+            self._compare(content)
+
+    def test_absolute_url_matches_stdlib(self):
+        from urllib.parse import urldefrag, urljoin
+
+        from spidey_ray.functions.urltools import absolute_url
+
+        bases = ["https://h0.example.com/p/3", "https://h1.example.com/",
+                 "http://x.com/a/b/c?q=1", "https://u:p@h.com:8080/d/",
+                 "https://h.com"]
+        links = ["https://a.com/x", "http://b.com", "https://c.com/p?b=2&a=1",
+                 "https://d.com/x#frag", "/p/5", "/p/5/", "//cdn.com/x",
+                 "/..", "/p/../q", "/p/./q", "p/5", "../up", "?q=2", "#frag",
+                 "", ".", "..", "/x.html", "/x.y.z/w", "mailto:a@b.c",
+                 "HTTPS://UP.com/X", "/p;params/x", "/p%20q/r", "/p?"]
+        for b in bases:
+            for l in links:
+                assert absolute_url(b, l) == urldefrag(urljoin(b, l))[0], (b, l)
