@@ -255,17 +255,39 @@ class HostShard:
                 and not urltools.trap_patterns(u, self.settings.path_repeat_threshold)[0]
             )
 
+        # robots for NEW hosts: per-host processing is independent (each
+        # mutates only its own HostState; fetch fns open one connection per
+        # call), so fetch them through a small thread pool — on a real-HTTP
+        # deployment serial ~1 s robots+sitemap fetches per first-seen host
+        # would otherwise serialize the whole shard. Results are assembled
+        # in sorted-host order, so completion order never leaks out.
+        new_hosts = [h for h in sorted(links_by_host)
+                     if links_by_host[h]
+                     and not self._get(h).robots_processed]
+        robots_out: dict[str, tuple[list[str], list[str]]] = {}
+        if len(new_hosts) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(8, len(new_hosts))) as ex:
+                futs = {
+                    h: ex.submit(
+                        process_robots, self._get(h), links_by_host[h][0][0],
+                        self.fetch, self.settings, self.is_valid,
+                        allurlchecks)
+                    for h in new_hosts
+                }
+                robots_out = {h: f.result() for h, f in futs.items()}
+        elif new_hosts:
+            h = new_hosts[0]
+            robots_out[h] = process_robots(
+                self._get(h), links_by_host[h][0][0], self.fetch,
+                self.settings, self.is_valid, allurlchecks)
+
         out = {}
         for host in sorted(links_by_host):
             rows = links_by_host[host]
             state = self._get(host)
-            unchecked: list[str] = []
-            checked: list[str] = []
-            if not state.robots_processed and rows:
-                unchecked, checked = process_robots(
-                    state, rows[0][0], self.fetch, self.settings,
-                    self.is_valid, allurlchecks,
-                )
+            unchecked, checked = robots_out.get(host, ([], []))
             mask = [state.can_fetch(orig, self.settings) for (_s, orig) in rows]
             # allow_all: robots missing/unparseable, or parsed but rule-free —
             # can_fetch is constant True, so the driver may cache and skip the
