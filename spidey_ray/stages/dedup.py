@@ -245,6 +245,51 @@ def _bucket_pairs_ids(g: pd.DataFrame,
     return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
 
 
+def banded_pairs(rows: "ray.data.Dataset", key_cols: list[str],
+                 num_buckets: int = 256,
+                 max_bucket: int = _MAX_PAIR_BUCKET,
+                 group_fn=None) -> "ray.data.Dataset":
+    """(doc_id, *key_cols, ...) band rows → candidate pairs, fat-bucketed.
+
+    A naive ``groupby(key_cols)`` makes one near-singleton group per
+    DISTINCT band hash — n_docs × bands groups at corpus scale, exactly
+    the sort-shuffle slow path this file's docstrings warn about
+    (measured: 11 s to produce 256 pairs from 80k band rows).  Here the
+    shuffle key is ``mix(hash(key_cols)) % num_buckets`` (one fat group
+    per bucket), and inside each bucket a vectorized size-transform
+    discards singleton hashes BEFORE any per-group Python work — only
+    true collision groups (the rare ones) are iterated.
+    ``group_fn(sub_df) -> DataFrame`` handles one collision group
+    (default: :func:`_bucket_pairs_ids` pair expansion)."""
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(df), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in key_cols:
+                hc = pd.util.hash_pandas_object(
+                    df[c], index=False, categorize=False
+                ).to_numpy().astype(np.uint64)
+                h = _mix64(h ^ hc)
+        df = df.copy()
+        df["_bb"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    fn = group_fn or (lambda sub: _bucket_pairs_ids(sub, max_bucket))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bb"])
+        sizes = g.groupby(key_cols, sort=False)["doc_id"].transform("size")
+        g = g[sizes >= 2]
+        if g.empty:
+            return fn(g)
+        return pd.concat([fn(sub) for _, sub in g.groupby(key_cols,
+                                                          sort=False)],
+                         ignore_index=True)
+
+    return (rows.map_batches(bucket, batch_format="pandas")
+            .groupby("_bb").map_groups(per_bucket, batch_format="pandas"))
+
+
 def _pair_bucket_col(t: pa.Table, num_buckets: int) -> pa.Table:
     """Deterministic fat-bucket key over the (doc_a, doc_b) pair."""
     a = np.asarray(t["doc_a"].to_pylist(), dtype=np.uint64)
@@ -349,10 +394,11 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
     n_docs = sigs.count()
 
     cand = dedup_pairs(            # same pair from several bands
-        sigs.select_columns(["doc_id", "band_hashes"])
-        .map_batches(_explode_bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs_ids, batch_format="pandas")
+        banded_pairs(
+            sigs.select_columns(["doc_id", "band_hashes"])
+            .map_batches(_explode_bands, batch_format="pyarrow"),
+            ["band", "band_hash"],
+        )
     )
     if n_docs > verify_broadcast_limit:
         cand = cand.materialize()   # reused by both join passes
@@ -617,8 +663,10 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
                 d_out.append(int(d[j]))
         return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "hamming": d_out})
 
-    pairs = sigs.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["band", "chunk"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = banded_pairs(
+        sigs.map_batches(explode, batch_format="pyarrow"),
+        ["band", "chunk"], group_fn=bucket_pairs,
+    )
     return dedup_pairs(pairs)
 
 
@@ -681,10 +729,11 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
     n_docs = sigs.count()
 
     cand = dedup_pairs(
-        sigs.select_columns(["doc_id", "band_hashes"])
-        .map_batches(_explode_bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs_ids, batch_format="pandas")
+        banded_pairs(
+            sigs.select_columns(["doc_id", "band_hashes"])
+            .map_batches(_explode_bands, batch_format="pyarrow"),
+            ["band", "band_hash"],
+        )
     )
     if n_docs > verify_broadcast_limit:
         cand = cand.materialize()
@@ -769,10 +818,11 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
     n_docs = sigs.count()
 
     cand = dedup_pairs(
-        sigs.select_columns(["doc_id", "buckets"])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby(["table_i", "bucket"])
-        .map_groups(_bucket_pairs_ids, batch_format="pandas")
+        banded_pairs(
+            sigs.select_columns(["doc_id", "buckets"])
+            .map_batches(explode, batch_format="pyarrow"),
+            ["table_i", "bucket"],
+        )
     )
     if n_docs > verify_broadcast_limit:
         cand = cand.materialize()

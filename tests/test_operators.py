@@ -381,7 +381,7 @@ class TestProductQuantization:
         from spidey_ray.stages.similarity import PqIndex, cosine_topk
 
         df = clustered_ds.to_pandas()
-        idx = PqIndex(m=4).build(clustered_ds)
+        idx = PqIndex(m=4).build(clustered_ds, sample_fraction=1.0)
         hits = total = 0
         for probe in (0, 3, 5):
             q = np.asarray(df["embedding"].iloc[probe])
@@ -394,7 +394,7 @@ class TestProductQuantization:
     def test_compression_and_driver_state(self, clustered_ds):
         from spidey_ray.stages.similarity import PqIndex
 
-        idx = PqIndex(m=4).build(clustered_ds)
+        idx = PqIndex(m=4).build(clustered_ds, sample_fraction=1.0)
         # driver holds ONLY codebooks (M,256,dsub) + block refs
         assert idx.codebooks.shape == (4, 256, 4)
         assert not hasattr(idx, "buckets")
