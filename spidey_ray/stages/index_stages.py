@@ -272,34 +272,51 @@ SCORED_SCHEMA = pa.schema(
 def score_stem_group(group: pa.Table, num_documents: int) -> pa.Table:
     """One stem-hash BUCKET of postings → tf-idf + within-stem ordering
     (Indexer.py:142-173) for every (stem, is_bigram) inside it.  Arrow in /
-    Arrow out — the nested ``positions`` column must not round-trip through
-    pandas."""
-    by_stem: dict[tuple, list] = {}
-    for stem, doc_id, positions, wtf, is_bigram in zip(
-        group["stem"].to_pylist(), group["doc_id"].to_pylist(),
-        group["positions"].to_pylist(), group["wtf"].to_pylist(),
-        group["is_bigram"].to_pylist(),
-    ):
-        by_stem.setdefault((stem, is_bigram), []).append((doc_id, positions, wtf))
+    Arrow out — the nested ``positions`` column never leaves Arrow (two
+    ``take``s reorder it); grouping is one sort + a run-length boundary
+    vector instead of a per-row dict build.  tf-idf arithmetic stays
+    per-row Python ``math.log10``/``round`` — the SQL oracle's value hash
+    is sensitive to the half-even rounding of the exact float sequence,
+    and numpy's scale-multiply round differs in rare ULP cases.
 
-    out = {n: [] for n in SCORED_SCHEMA.names}
-    for (stem, is_bigram), rows in by_stem.items():
-        rows.sort(key=lambda r: r[0])          # doc write order
-        dfreq = len(rows)
-        idf = math.log10(num_documents / dfreq)
-        scored = [
-            (d, pos, round((1.0 + math.log10(w)) * idf, 4) if w > 0 else 0.0)
-            for d, pos, w in rows
-        ]
-        if not is_bigram:
-            # unigram postings sorted by tfidf desc, stable (Indexer.py:166-168)
-            scored.sort(key=lambda r: -r[2])
-        b = _stem_bucket(stem)
-        for d, pos, tf in scored:
-            out["stem"].append(stem)
-            out["doc_id"].append(d)
-            out["positions"].append(pos)
-            out["tfidf"].append(tf)
-            out["is_bigram"].append(is_bigram)
-            out["bucket"].append(b)
-    return pa.Table.from_pydict(out, schema=SCORED_SCHEMA)
+    Within-stem order is the contract (doc write order for bigrams,
+    tfidf-desc stable for unigrams — Indexer.py:166-168); stem order
+    within the bucket is not (consumers group by stem)."""
+    import pyarrow.compute as pc
+
+    n = len(group)
+    if n == 0:
+        return pa.Table.from_pydict(
+            {c: [] for c in SCORED_SCHEMA.names}, schema=SCORED_SCHEMA)
+    idx = pc.sort_indices(group, sort_keys=[
+        ("is_bigram", "ascending"), ("stem", "ascending"),
+        ("doc_id", "ascending")])
+    g = group.take(idx)
+    stems = np.asarray(g["stem"].to_pylist(), dtype=object)
+    isb = np.asarray(g["is_bigram"].to_pylist(), dtype=bool)
+    wtf = np.asarray(g["wtf"].to_pylist(), dtype=np.float64)
+    brk = np.ones(n, dtype=bool)
+    if n > 1:
+        brk[1:] = (stems[1:] != stems[:-1]) | (isb[1:] != isb[:-1])
+    starts = np.nonzero(brk)[0]
+    sizes = np.diff(np.append(starts, n))
+    gid = np.repeat(np.arange(len(sizes)), sizes)
+    log10 = math.log10
+    idf_g = [log10(num_documents / int(s)) for s in sizes]
+    tfidf = np.fromiter(
+        (round((1.0 + log10(w)) * idf_g[gi], 4) if w > 0 else 0.0
+         for w, gi in zip(wtf, gid)),
+        dtype=np.float64, count=n)
+    # final within-group permutation: bigrams keep doc order (constant sort
+    # key), unigrams go tfidf-desc stable — one global stable lexsort
+    tfkey = np.where(isb, 0.0, -tfidf)
+    perm = np.lexsort((np.arange(n), tfkey, gid))
+    g2 = g.take(pa.array(perm))
+    return pa.table({
+        "stem": g2["stem"],
+        "doc_id": g2["doc_id"],
+        "positions": g2["positions"],
+        "tfidf": pa.array(tfidf[perm], type=pa.float64()),
+        "is_bigram": g2["is_bigram"],
+        "bucket": g2["bucket"],
+    }).cast(SCORED_SCHEMA)
