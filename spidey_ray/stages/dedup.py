@@ -661,7 +661,14 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
                 a_out.append(int(ids[i]))
                 b_out.append(int(ids[i + 1 + j]))
                 d_out.append(int(d[j]))
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "hamming": d_out})
+        # explicit int64 dtypes: an all-singleton fat bucket yields empty
+        # lists, and an object-dtype empty frame breaks heterogeneous
+        # block concat downstream
+        return pd.DataFrame({
+            "doc_a": pd.Series(a_out, dtype="int64"),
+            "doc_b": pd.Series(b_out, dtype="int64"),
+            "hamming": pd.Series(d_out, dtype="int64"),
+        })
 
     pairs = banded_pairs(
         sigs.map_batches(explode, batch_format="pyarrow"),
