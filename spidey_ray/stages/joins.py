@@ -41,8 +41,14 @@ _HASH_KEY = "spidey-join-0000"  # 16 bytes, fixed: deterministic across workers
 
 def _bucket_of(t: pa.Table, on: list[str], num_buckets: int) -> pa.Array:
     df = t.select(on).to_pandas()
-    key = (df[on].astype(str).agg("\x1f".join, axis=1)
-           if len(on) > 1 else df[on[0]])
+    if len(on) > 1:
+        # vectorized string concat — .agg("\x1f".join, axis=1) is a
+        # per-row Python loop (same values, C speed)
+        key = df[on[0]].astype(str)
+        for c in on[1:]:
+            key = key + "\x1f" + df[c].astype(str)
+    else:
+        key = df[on[0]]
     h = pd.util.hash_pandas_object(
         key, index=False, hash_key=_HASH_KEY, categorize=False)
     return pa.array((h % num_buckets).astype(np.int32).to_numpy())
