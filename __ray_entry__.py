@@ -516,6 +516,34 @@ def q_events_lag(sf_dir: str):
     return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
 
+
+def q_decontaminate(sf_dir: str):
+    """GPT-3-style benchmark decontamination report (rows-only: the
+    per-doc overlap counts against a held-out "benchmark" slice of the
+    same corpus — duplicates of benchmark docs show full contamination)."""
+    from spidey_ray.stages.contamination import contamination_report
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 10)), batch_format="pyarrow")
+    out = contamination_report(docs, bench, n=8).to_pandas()
+    for c in ("doc_id", "n_shingles", "n_contaminated"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Context-window sequence packing (rows-only: FFD bins per block;
+    every doc appears exactly once)."""
+    from spidey_ray.stages.contamination import pack_sequences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pack_sequences(docs, max_tokens=512).to_pandas()
+    for c in ("bin_id", "doc_id", "n_tokens", "bin_fill"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_events_tumbling(sf_dir: str):
     """2-hour tumbling windows per event_type (combiner shape: per-block
     window partials, then a small groupby)."""
@@ -1105,6 +1133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
         "hnsw_ann": q_hnsw_ann,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "approx_distinct": q_approx_distinct,
         "media_features": q_media_features,
         "media_phash_pairs": q_media_phash_pairs,

@@ -1,0 +1,162 @@
+"""Benchmark decontamination + sequence packing — the two training-data
+curation steps between dedup and tokenization in an LLM data pipeline.
+
+- :func:`decontaminate`: GPT-3-appendix-C-style n-gram overlap filtering
+  (Brown et al. 2020 used 13-grams; The Pile / Llama reports follow the
+  same shape): drop or flag every training document that shares at least
+  one n-token shingle with an evaluation/benchmark corpus.
+- :func:`pack_sequences`: greedy first-fit-decreasing packing of documents
+  into fixed token-budget bins (context windows), partition-local — the
+  standard distributed approximation (bins never span partitions, so no
+  shuffle is needed at all).
+
+Scale posture: the BENCHMARK side is the small side by definition (eval
+sets are thousands of documents, not billions) — its shingle-hash set is
+built distributed, then ``ray.put`` ONCE and probed per batch with a
+binary search (never re-shipped per batch, never a shuffle).  The
+training side streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .dedup import shingle_hashes
+from .textstats import tokens_of
+
+
+def _benchmark_shingles(benchmark: "ray.data.Dataset", n: int,
+                        text_col: str) -> np.ndarray:
+    """Sorted unique n-gram hashes of the benchmark corpus (distributed
+    shingling; only the deduplicated uint64 hashes reach the driver)."""
+
+    def sh_batch(batch: pa.Table) -> pa.Table:
+        hs = [shingle_hashes(t, n) for t in batch[text_col].to_pylist()]
+        merged = (np.unique(np.concatenate(hs)) if hs
+                  else np.empty(0, dtype=np.uint64))
+        return pa.table({"sh": pa.array(merged, type=pa.uint64())})
+
+    parts = benchmark.map_batches(sh_batch, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(parts["sh"].to_numpy().astype(np.uint64))
+
+
+def contamination_report(ds: "ray.data.Dataset",
+                         benchmark: "ray.data.Dataset", n: int = 13,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-document contamination counts: (id, n_shingles, n_contaminated).
+
+    A document's shingle hashes are probed against the broadcast benchmark
+    set with one vectorized searchsorted per doc."""
+    bench = _benchmark_shingles(benchmark, n, text_col)
+    ref = ray.put(bench)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids, n_sh, n_hit = [], [], []
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            sh = shingle_hashes(t, n)
+            if len(m):
+                pos = np.searchsorted(m, sh)
+                pos[pos == len(m)] = 0
+                hits = int((m[pos] == sh).sum())
+            else:
+                hits = 0
+            ids.append(i)
+            n_sh.append(len(sh))
+            n_hit.append(hits)
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_shingles": pa.array(n_sh, type=pa.int64()),
+            "n_contaminated": pa.array(n_hit, type=pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def decontaminate(ds: "ray.data.Dataset", benchmark: "ray.data.Dataset",
+                  n: int = 13, text_col: str = "text",
+                  max_hits: int = 0) -> "ray.data.Dataset":
+    """Drop every training document sharing more than ``max_hits``
+    n-token shingles with the benchmark corpus (``max_hits=0`` = the
+    GPT-3 rule: any overlap disqualifies)."""
+    bench = _benchmark_shingles(benchmark, n, text_col)
+    ref = ray.put(bench)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        if not len(m):
+            return batch
+        mask = []
+        for t in batch[text_col].to_pylist():
+            sh = shingle_hashes(t, n)
+            pos = np.searchsorted(m, sh)
+            pos[pos == len(m)] = 0
+            mask.append(int((m[pos] == sh).sum()) <= max_hits)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(ds: "ray.data.Dataset", max_tokens: int,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Greedy first-fit-decreasing packing of documents into token-budget
+    bins: (bin_id, doc_id, n_tokens, bin_fill).
+
+    Packing runs PER BLOCK (first-fit-decreasing inside each batch; bins
+    never span blocks) — the standard distributed approximation: FFD is
+    within 11/9·OPT+1 bins of optimal per partition, and cross-partition
+    packing would need a global shuffle for a ~1% fill gain.  bin_id is
+    ``(block_fingerprint << 20) | local_bin`` so ids are globally unique
+    and stable for a fixed input partitioning.  Documents longer than
+    ``max_tokens`` become singleton oversized bins (flagged via
+    ``bin_fill > max_tokens``) — truncation policy belongs to the
+    tokenizer stage, not the packer."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        counts = np.fromiter(
+            (len(tokens_of(t)) for t in batch[text_col].to_pylist()),
+            dtype=np.int64, count=len(ids))
+        order = np.argsort(-counts, kind="stable")      # FFD: biggest first
+        bins_fill: list[int] = []
+        assign = np.empty(len(ids), dtype=np.int64)
+        for k in order:
+            c = int(counts[k])
+            placed = False
+            for b, fill in enumerate(bins_fill):        # first fit
+                if fill + c <= max_tokens:
+                    bins_fill[b] = fill + c
+                    assign[k] = b
+                    placed = True
+                    break
+            if not placed:
+                assign[k] = len(bins_fill)
+                bins_fill.append(c)
+        # block-unique prefix: fingerprint of the block's id sequence
+        import zlib
+
+        tag = zlib.crc32(",".join(map(str, ids)).encode()) & 0xFFFFF
+        base = np.int64(tag) << np.int64(20)
+        return pa.table({
+            "bin_id": pa.array(base + assign, type=pa.int64()),
+            id_col: batch[id_col],
+            "n_tokens": pa.array(counts, type=pa.int64()),
+            "bin_fill": pa.array(
+                [bins_fill[a] for a in assign], type=pa.int64()),
+        })
+
+    return ds.map_batches(pack, batch_format="pyarrow")

@@ -507,3 +507,94 @@ class TestConnectedComponents:
                               cc_driver_limit=0).to_pandas()["doc_id"])
         assert a == b
         assert 0 in a and 1 not in a
+
+
+class TestContamination:
+    @pytest.fixture(scope="class")
+    def corpus(self, ray_session):
+        import ray.data
+
+        bench_sent = "the secret benchmark sentence nobody should train on ever"
+        rows = [
+            {"doc_id": 0, "text": "a perfectly clean training document "
+                                  "about gardening and soil quality here"},
+            {"doc_id": 1, "text": f"prefix words then {bench_sent} then more"},
+            {"doc_id": 2, "text": "another clean one with totally distinct "
+                                  "content about sailing boats at dawn"},
+            {"doc_id": 3, "text": bench_sent},
+        ]
+        bench = [{"doc_id": 100, "text": f"intro {bench_sent} outro words"}]
+        import ray.data as rd
+
+        return rd.from_items(rows), rd.from_items(bench)
+
+    def test_decontaminate_drops_overlapping(self, corpus):
+        from spidey_ray.stages.contamination import decontaminate
+
+        docs, bench = corpus
+        kept = set(decontaminate(docs, bench, n=5).to_pandas()["doc_id"])
+        assert kept == {0, 2}          # 1 and 3 share 5-grams with bench
+
+    def test_report_counts(self, corpus):
+        from spidey_ray.stages.contamination import contamination_report
+
+        docs, bench = corpus
+        rep = contamination_report(docs, bench, n=5).to_pandas() \
+            .set_index("doc_id")
+        assert rep.loc[0, "n_contaminated"] == 0
+        assert rep.loc[2, "n_contaminated"] == 0
+        assert rep.loc[1, "n_contaminated"] >= 5   # whole sentence inside
+        assert rep.loc[3, "n_contaminated"] == 5   # 9-token sentence, n=5
+        assert (rep["n_shingles"] > 0).all()
+
+    def test_empty_benchmark_keeps_all(self, corpus, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.contamination import decontaminate
+
+        docs, _ = corpus
+        empty = ray.data.from_items(
+            [{"doc_id": 0, "text": ""}]).filter(lambda r: False)
+        kept = decontaminate(docs, empty, n=5).to_pandas()
+        assert len(kept) == 4
+
+
+class TestSequencePacking:
+    def test_pack_invariants(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.contamination import pack_sequences
+
+        rng = np.random.default_rng(4)
+        rows = [{"doc_id": i,
+                 "text": " ".join(f"w{j}" for j in range(int(n)))}
+                for i, n in enumerate(rng.integers(5, 400, 300))]
+        rows.append({"doc_id": 999,
+                     "text": " ".join(f"w{j}" for j in range(700))})  # oversized
+        out = pack_sequences(ray.data.from_items(rows),
+                             max_tokens=512).to_pandas()
+        # every doc exactly once
+        assert sorted(out["doc_id"]) == sorted(r["doc_id"] for r in rows)
+        # bin fill consistency + budget (oversized docs are singleton bins)
+        g = out.groupby("bin_id")
+        for bin_id, grp in g:
+            fill = grp["n_tokens"].sum()
+            assert (grp["bin_fill"] == fill).all()
+            if fill > 512:
+                assert len(grp) == 1 and grp["n_tokens"].iloc[0] > 512
+        # FFD should fill reasonably: mean fill of non-oversized,
+        # non-last bins well above half the budget
+        fills = g["n_tokens"].sum()
+        normal = fills[fills <= 512]
+        assert normal.mean() > 256
+
+    def test_deterministic(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.contamination import pack_sequences
+
+        rows = [{"doc_id": i, "text": "tok " * (10 + i)} for i in range(50)]
+        a = pack_sequences(ray.data.from_items(rows), 128).to_pandas()
+        b = pack_sequences(ray.data.from_items(rows), 128).to_pandas()
+        key = lambda d: sorted(map(tuple, d.values))  # noqa: E731
+        assert key(a) == key(b)
