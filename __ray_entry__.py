@@ -941,6 +941,22 @@ def q_hnsw_ann(sf_dir: str):
     })
 
 
+
+def q_approx_quantiles(sf_dir: str):
+    """Mergeable t-digest quantiles over o_totalprice (rows-only:
+    approximate by design; the exact-sort counterpart is
+    ``price_quantiles``, whose values these track to <1% rank error)."""
+    from spidey_ray.stages.sketches import approx_quantiles
+
+    res = approx_quantiles(
+        _read(sf_dir, "orders", ["o_totalprice"]), "o_totalprice",
+        [0.25, 0.5, 0.75])
+    return pa.table({
+        "q": pa.array([q for q, _ in res], type=pa.float64()),
+        "value": pa.array([round(v, 2) for _, v in res], type=pa.float64()),
+    })
+
+
 def q_price_quantiles(sf_dir: str):
     """Exact distributed order statistics over orders.o_totalprice
     (SQL-checked: both sides pick rank floor(q·(n−1)) with the same
@@ -1135,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hnsw_ann": q_hnsw_ann,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "approx_quantiles": q_approx_quantiles,
         "approx_distinct": q_approx_distinct,
         "media_features": q_media_features,
         "media_phash_pairs": q_media_phash_pairs,

@@ -120,3 +120,122 @@ def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 14) -> int:
     regs = merge_registers(
         [np.asarray(r, dtype=np.uint8) for r in parts["registers"]])
     return round(hll_estimate(regs, p))
+
+
+# ---------------------------------------------------------------------------
+# t-digest: mergeable approximate quantiles
+# ---------------------------------------------------------------------------
+# Dunning & Ertl, "Computing Extremely Accurate Quantiles Using t-Digests"
+# (2019 preprint / original 2013 paper) — the merging-digest variant with
+# the k1 scale bound (per-centroid weight ≤ 4·W·q·(1−q)/δ), which keeps
+# tail quantiles tight while the center compresses.  Exact quantiles need
+# a full corpus sort; the digest is one small mergeable row per block.
+
+
+class TDigest:
+    """Fixed-δ merging t-digest over float64 values (means/weights arrays,
+    centroids kept sorted by mean)."""
+
+    def __init__(self, delta: int = 200,
+                 means: np.ndarray | None = None,
+                 weights: np.ndarray | None = None):
+        self.delta = delta
+        self.means = (means if means is not None
+                      else np.empty(0, dtype=np.float64))
+        self.weights = (weights if weights is not None
+                        else np.empty(0, dtype=np.float64))
+
+    @classmethod
+    def of(cls, values: np.ndarray, delta: int = 200) -> "TDigest":
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        d = cls(delta, np.sort(values), np.ones(len(values)))
+        d._compress()
+        return d
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        means = np.concatenate([self.means, other.means])
+        weights = np.concatenate([self.weights, other.weights])
+        order = np.argsort(means, kind="mergesort")
+        out = TDigest(self.delta, means[order], weights[order])
+        out._compress()
+        return out
+
+    def _compress(self) -> None:
+        n = len(self.means)
+        if n == 0:
+            return
+        W = float(self.weights.sum())
+        out_m: list[float] = []
+        out_w: list[float] = []
+        cur_m, cur_w = self.means[0], self.weights[0]
+        acc = 0.0                        # weight fully to the left of cur
+        for i in range(1, n):
+            w = self.weights[i]
+            q = (acc + cur_w / 2.0) / W  # centroid's quantile midpoint
+            cap = max(1.0, 4.0 * W * q * (1.0 - q) / self.delta)
+            if cur_w + w <= cap:
+                cur_m += (self.means[i] - cur_m) * (w / (cur_w + w))
+                cur_w += w
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                acc += cur_w
+                cur_m, cur_w = self.means[i], w
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        W = float(self.weights.sum())
+        target = q * W
+        # cumulative weight at centroid midpoints; linear interpolation
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if target <= cum[0]:
+            return float(self.means[0])
+        if target >= cum[-1]:
+            return float(self.means[-1])
+        j = int(np.searchsorted(cum, target) - 1)
+        frac = (target - cum[j]) / (cum[j + 1] - cum[j])
+        return float(self.means[j] + frac * (self.means[j + 1] - self.means[j]))
+
+    # -- serialization (one packed row per block) --------------------------
+    def to_row(self) -> dict:
+        return {"delta": self.delta,
+                "means": self.means.tolist(),
+                "weights": self.weights.tolist()}
+
+    @classmethod
+    def from_row(cls, row) -> "TDigest":
+        return cls(int(row["delta"]),
+                   np.asarray(row["means"], dtype=np.float64),
+                   np.asarray(row["weights"], dtype=np.float64))
+
+
+def approx_quantiles(ds: "ray.data.Dataset", value_col: str,
+                     qs: list[float], delta: int = 200) -> list[tuple[float, float]]:
+    """Mergeable-sketch quantiles: one t-digest row per block, driver
+    merges O(blocks × δ) centroids — no corpus sort, no shuffle (contrast
+    :func:`exact_quantiles`, which pays one full sort)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = TDigest.of(
+            np.asarray(batch[value_col].to_pylist(), dtype=np.float64),
+            delta)
+        r = d.to_row()
+        return pa.table({
+            "delta": pa.array([r["delta"]], type=pa.int32()),
+            "means": pa.array([r["means"]], type=pa.list_(pa.float64())),
+            "weights": pa.array([r["weights"]], type=pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    digest = TDigest(delta)
+    for _, row in parts.iterrows():
+        digest = digest.merge(TDigest.from_row(row))
+    return [(q, digest.quantile(q)) for q in qs]

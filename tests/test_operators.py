@@ -598,3 +598,51 @@ class TestSequencePacking:
         b = pack_sequences(ray.data.from_items(rows), 128).to_pandas()
         key = lambda d: sorted(map(tuple, d.values))  # noqa: E731
         assert key(a) == key(b)
+
+
+class TestTDigest:
+    def test_rank_accuracy_heavy_tail(self):
+        from spidey_ray.stages.sketches import TDigest
+
+        rng = np.random.default_rng(1)
+        vals = rng.lognormal(0, 1.5, 100_000)
+        d = TDigest.of(vals)
+        assert len(d.means) < 1500          # compressed
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            rank = (vals <= d.quantile(q)).mean()
+            assert abs(rank - q) < 0.005, q
+
+    def test_merge_associative_accuracy(self):
+        from spidey_ray.stages.sketches import TDigest
+
+        rng = np.random.default_rng(7)
+        vals = rng.standard_normal(60_000) * 10
+        parts = [TDigest.of(vals[i::6]) for i in range(6)]
+        m = parts[0]
+        for p in parts[1:]:
+            m = m.merge(p)
+        for q in (0.05, 0.5, 0.95):
+            rank = (vals <= m.quantile(q)).mean()
+            assert abs(rank - q) < 0.01, q
+
+    def test_distributed_matches_exact(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.sketches import approx_quantiles
+
+        rng = np.random.default_rng(9)
+        vals = rng.gamma(2.0, 3.0, 20_000)
+        ds = ray.data.from_items([{"v": float(x)} for x in vals])
+        out = approx_quantiles(ds, "v", [0.25, 0.5, 0.9])
+        for q, est in out:
+            rank = (vals <= est).mean()
+            assert abs(rank - q) < 0.01, (q, est)
+
+    def test_edge_cases(self):
+        from spidey_ray.stages.sketches import TDigest
+
+        assert np.isnan(TDigest.of(np.array([])).quantile(0.5))
+        single = TDigest.of(np.array([42.0]))
+        assert single.quantile(0.0) == single.quantile(1.0) == 42.0
+        with_nan = TDigest.of(np.array([1.0, np.nan, 3.0]))
+        assert 1.0 <= with_nan.quantile(0.5) <= 3.0
