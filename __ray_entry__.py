@@ -544,6 +544,35 @@ def q_pack_sequences(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+
+def q_stratified_sample(sf_dir: str):
+    """Content-deterministic stratified sampling of orders by status
+    (md5-rank thresholds — bit-reproducible in any engine, which is why
+    this has a full SQL oracle while random_sample never could)."""
+    from spidey_ray.stages.sampling import hash_sample
+
+    out = hash_sample(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]),
+        "o_orderkey", key_col="o_orderstatus",
+        fraction_by_key={"F": 0.3, "O": 0.1}, default_fraction=0.05,
+    ).to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_source_cap(sf_dir: str):
+    """Per-source document cap (the "max N docs per domain" curation rule),
+    deterministic winners by (md5 rank, id)."""
+    from spidey_ray.stages.sampling import cap_per_key
+
+    out = cap_per_key(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        "source", "doc_id", cap=10,
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_events_tumbling(sf_dir: str):
     """2-hour tumbling windows per event_type (combiner shape: per-block
     window partials, then a small groupby)."""
@@ -1152,6 +1181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "approx_quantiles": q_approx_quantiles,
+        "stratified_sample": q_stratified_sample,
+        "source_cap": q_source_cap,
         "approx_distinct": q_approx_distinct,
         "media_features": q_media_features,
         "media_phash_pairs": q_media_phash_pairs,
@@ -1308,6 +1339,23 @@ def oracle_sql() -> dict[str, str]:
                            (partition by user_id order by ts, event_id),
                        -1) as bigint) as delta_us
             from events
+        """,
+        "stratified_sample": """
+            select o_orderkey, o_orderstatus, o_totalprice
+            from orders
+            where substr(md5(cast(o_orderkey as varchar)), 1, 8) <
+                case o_orderstatus
+                    when 'F' then '4ccccccc'
+                    when 'O' then '19999999'
+                    else '0ccccccc'
+                end
+        """,
+        "source_cap": """
+            select doc_id, source from documents
+            qualify row_number() over (
+                partition by source
+                order by substr(md5(cast(doc_id as varchar)), 1, 8), doc_id
+            ) <= 10
         """,
         "sessionize": """
             with e as (

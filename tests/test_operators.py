@@ -646,3 +646,51 @@ class TestTDigest:
         assert single.quantile(0.0) == single.quantile(1.0) == 42.0
         with_nan = TDigest.of(np.array([1.0, np.nan, 3.0]))
         assert 1.0 <= with_nan.quantile(0.5) <= 3.0
+
+
+class TestDeterministicSampling:
+    @pytest.fixture(scope="class")
+    def keyed_ds(self, ray_session):
+        import ray.data
+
+        rows = [{"id": i, "k": ["a", "b", "c"][i % 3]} for i in range(3000)]
+        return ray.data.from_items(rows)
+
+    def test_hash_sample_fraction_and_determinism(self, keyed_ds):
+        import hashlib
+
+        from spidey_ray.stages.sampling import hash_sample
+
+        a = hash_sample(keyed_ds, "id", fraction=0.3).to_pandas()
+        b = hash_sample(keyed_ds, "id", fraction=0.3).to_pandas()
+        assert sorted(a["id"]) == sorted(b["id"])       # deterministic
+        assert 0.25 < len(a) / 3000 < 0.35              # ~fraction
+        # membership is exactly the md5 rule
+        for i in a["id"][:50]:
+            assert hashlib.md5(str(i).encode()).hexdigest()[:8] < "4ccccccc"
+
+    def test_stratified_fractions(self, keyed_ds):
+        from spidey_ray.stages.sampling import hash_sample
+
+        out = hash_sample(keyed_ds, "id", key_col="k",
+                          fraction_by_key={"a": 0.5, "b": 0.1, "c": 1.0}
+                          ).to_pandas()
+        by = out.groupby("k").size()
+        assert 0.4 < by["a"] / 1000 < 0.6
+        assert 0.05 < by["b"] / 1000 < 0.16
+        assert by["c"] == 1000                  # fraction 1.0 keeps all
+
+    def test_cap_per_key(self, keyed_ds):
+        import hashlib
+
+        from spidey_ray.stages.sampling import cap_per_key
+
+        out = cap_per_key(keyed_ds, "k", "id", cap=7).to_pandas()
+        assert (out.groupby("k").size() == 7).all()
+        # winners are exactly the 7 smallest (md5rank, id) per key
+        full = keyed_ds.to_pandas()
+        full["r"] = [hashlib.md5(str(i).encode()).hexdigest()[:8]
+                     for i in full["id"]]
+        for k, grp in full.groupby("k"):
+            want = set(grp.sort_values(["r", "id"]).head(7)["id"])
+            assert set(out[out["k"] == k]["id"]) == want
