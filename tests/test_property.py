@@ -195,3 +195,98 @@ class TestJoinProperties:
             l_df[l_df["k"].isin(rset)]["lv"])
         assert sorted(anti["lv"]) == sorted(
             l_df[~l_df["k"].isin(rset)]["lv"])
+
+
+class TestScalableCuckooProperties:
+    @given(st.lists(st.tuples(st.sampled_from(["add", "del"]),
+                              st.integers(0, 400)),
+                    min_size=1, max_size=300))
+    @settings(max_examples=60, deadline=None)
+    def test_never_false_negative_vs_reference_set(self, ops):
+        """Random interleaved add/delete sequences against a Python-set
+        reference: every key the reference holds MUST be reported present
+        (false positives are allowed; false negatives never)."""
+        from spidey_ray.state.cuckoo import ScalableCuckoo
+
+        f = ScalableCuckoo(1 << 6)          # tiny → forces growth
+        ref = set()
+        for op, k in ops:
+            key = np.array([k], dtype=np.uint64)
+            if op == "add":
+                f.seen_or_add(key)
+                ref.add(k)
+            elif k in ref:
+                # delete only keys we know are present (partial-key delete
+                # of absent keys may evict a colliding fingerprint)
+                f.delete(key)
+                ref.discard(k)
+        if ref:
+            present = f.contains(np.array(sorted(ref), dtype=np.uint64))
+            assert present.all()
+
+    @given(st.integers(1, 5000))
+    @settings(max_examples=20, deadline=None)
+    def test_count_tracks_inserts(self, n):
+        from spidey_ray.state.cuckoo import ScalableCuckoo
+
+        f = ScalableCuckoo(1 << 6)
+        keys = np.arange(n, dtype=np.uint64)
+        seen = f.seen_or_add(keys)
+        # count == unique inserts (first-add false positives reduce it)
+        assert f.count == int((~seen).sum())
+
+
+class TestTDigestProperties:
+    @given(st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=2000))
+    @settings(max_examples=60, deadline=None)
+    def test_quantiles_monotone_and_bounded(self, vals):
+        from spidey_ray.stages.sketches import TDigest
+
+        arr = np.asarray(vals, dtype=np.float64)
+        d = TDigest.of(arr)
+        qs = [d.quantile(q) for q in (0.0, 0.1, 0.5, 0.9, 1.0)]
+        assert all(a <= b + 1e-9 for a, b in zip(qs, qs[1:]))
+        assert arr.min() - 1e-9 <= qs[0] and qs[-1] <= arr.max() + 1e-9
+
+    @given(st.lists(st.floats(-1e3, 1e3), min_size=2, max_size=1000),
+           st.integers(1, 5))
+    @settings(max_examples=40, deadline=None)
+    def test_merge_order_irrelevant_to_rank(self, vals, nparts):
+        from spidey_ray.stages.sketches import TDigest
+
+        arr = np.asarray(vals, dtype=np.float64)
+        parts = [TDigest.of(arr[i::nparts]) for i in range(nparts)
+                 if len(arr[i::nparts])]
+        fwd = parts[0]
+        for p in parts[1:]:
+            fwd = fwd.merge(p)
+        rev = parts[-1]
+        for p in reversed(parts[:-1]):
+            rev = rev.merge(p)
+        span = float(arr.max() - arr.min())
+        for q in (0.25, 0.75):
+            fa, fb = fwd.quantile(q), rev.quantile(q)
+            # merge order changes the estimate only within digest error,
+            # and both stay inside the data range (rank-space comparison
+            # is meaningless for duplicate-heavy tiny inputs)
+            assert abs(fa - fb) <= span * 0.25 + 1e-9
+            for v in (fa, fb):
+                assert arr.min() - 1e-9 <= v <= arr.max() + 1e-9
+
+
+class TestHashSampleProperties:
+    @given(st.integers(1, 99), st.integers(1, 99))
+    @settings(max_examples=30, deadline=None)
+    def test_nested_fractions_are_subsets(self, a, b):
+        """Thresholds nest: the f-sample is a subset of every g-sample with
+        g >= f — the property that makes deterministic sampling refreshable
+        (growing a sample never discards previously selected docs)."""
+        import hashlib
+
+        lo, hi = sorted((a, b))
+        ids = range(500)
+        def picked(pct):
+            thr = format(int(pct / 100 * 0x1_0000_0000), "08x")
+            return {i for i in ids
+                    if hashlib.md5(str(i).encode()).hexdigest()[:8] < thr}
+        assert picked(lo) <= picked(hi)
