@@ -46,9 +46,15 @@ def make_rest_server(query_index, host: str = "127.0.0.1", port: int = 0):
             if text == "":
                 self._respond([])
                 return
-            ranked, ms = query_index.query(text)
-            results = [[query_index.doc_info[d][0], query_index.doc_info[d][1]]
-                       for d, _ in ranked]
+            import time as _time
+
+            t0 = _time.perf_counter()
+            # results_with_info works for BOTH index classes (the
+            # partitioned serving index resolves doc meta lazily via
+            # _prefetch_docs; raw doc_info indexing would only work on the
+            # in-memory index)
+            results = query_index.results_with_info(text)
+            ms = (_time.perf_counter() - t0) * 1000.0
             self._respond({"results": results, "time": ms})
 
         def log_message(self, *args):  # quiet by default

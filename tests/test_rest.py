@@ -75,3 +75,42 @@ class TestRestEndpoint:
             t.join()
         assert len(outs) == 8
         assert all(o["results"] == outs[0]["results"] for o in outs)
+
+
+@pytest.fixture(scope="module")
+def partitioned_rest_server(ray_session, tmp_path_factory):
+    """Same corpus served through the ON-DISK PartitionedQueryIndex — the
+    cluster-serving path must work behind the same REST handler."""
+    import ray.data
+
+    from spidey_ray.pipelines.filter_index import run_filter_index
+    from spidey_ray.pipelines.oracle import crawl_serial
+    from spidey_ray.pipelines.query import PartitionedQueryIndex
+    from spidey_ray.pipelines.serving import make_rest_server
+    from spidey_ray.sources.synthetic_web import WebConfig
+
+    res = crawl_serial(WebConfig(n_hosts=6, pages_per_host=8, n_seeds=3))
+    order = {u: i for i, u in enumerate(res.fetch_log)}
+    rows = [dict(doc_id=u, title=res.titles[u], spans=s, crawl_seq=order[u])
+            for u, s in res.documents.items()]
+    out = str(tmp_path_factory.mktemp("rest_pidx"))
+    fi = run_filter_index(ray.data.from_items(rows), out)
+    qi = PartitionedQueryIndex(fi.postings_path, fi.doc_meta_path,
+                               fi.num_documents)
+    srv = make_rest_server(qi)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+class TestRestPartitionedServing:
+    def test_partitioned_index_behind_rest(self, partitioned_rest_server,
+                                           rest_server):
+        status, headers, body = _get(
+            partitioned_rest_server + "/?q=" + quote("home page"))
+        assert status == 200
+        assert headers.get("Access-Control-Allow-Origin") == "*"
+        assert body["results"]
+        # identical ranked [title, url] results as the in-memory index
+        _, _, mem_body = _get(rest_server + "/?q=" + quote("home page"))
+        assert body["results"] == mem_body["results"]
