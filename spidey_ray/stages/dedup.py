@@ -248,7 +248,7 @@ def _bucket_pairs_ids(g: pd.DataFrame,
 def banded_pairs(rows: "ray.data.Dataset", key_cols: list[str],
                  num_buckets: int = 256,
                  max_bucket: int = _MAX_PAIR_BUCKET,
-                 group_fn=None) -> "ray.data.Dataset":
+                 group_fn=None, id_col: str = "doc_id") -> "ray.data.Dataset":
     """(doc_id, *key_cols, ...) band rows → candidate pairs, fat-bucketed.
 
     A naive ``groupby(key_cols)`` makes one near-singleton group per
@@ -278,7 +278,7 @@ def banded_pairs(rows: "ray.data.Dataset", key_cols: list[str],
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["_bb"])
-        sizes = g.groupby(key_cols, sort=False)["doc_id"].transform("size")
+        sizes = g.groupby(key_cols, sort=False)[id_col].transform("size")
         g = g[sizes >= 2]
         if g.empty:
             return fn(g)

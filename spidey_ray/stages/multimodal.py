@@ -193,15 +193,34 @@ def media_dup_pairs(ds, max_hamming: int = 6):
                 a_out.append(refs[i])
                 b_out.append(refs[i + 1 + j])
                 d_out.append(int(d[j]))
-        return pd.DataFrame({"ref_a": a_out, "ref_b": b_out, "hamming": d_out})
+        return pd.DataFrame({
+            "ref_a": pd.Series(a_out, dtype="object").astype("string"),
+            "ref_b": pd.Series(b_out, dtype="object").astype("string"),
+            "hamming": pd.Series(d_out, dtype="int64"),
+        })
 
-    return (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "chunk"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["ref_a", "ref_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    from .dedup import banded_pairs
+
+    cand = banded_pairs(
+        sigs.map_batches(explode, batch_format="pyarrow"),
+        ["band", "chunk"], group_fn=bucket_pairs, id_col="media_ref",
     )
+
+    # pair-level dedup, fat-bucketed on a pair hash (a raw
+    # (ref_a, ref_b) groupby would be one near-singleton group per pair)
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(
+            df["ref_a"] + "\x1f" + df["ref_b"], index=False,
+            categorize=False)
+        df["_pb"] = (h % 64).astype(np.int32)
+        return df
+
+    def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["ref_a", "ref_b"]).drop(columns=["_pb"])
+
+    return (cand.map_batches(pair_bucket, batch_format="pandas")
+            .groupby("_pb").map_groups(drop_dup, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
