@@ -193,3 +193,45 @@ def read_tar_shards(shards_glob: str) -> "ray.data.Dataset":
     return ray.data.from_arrow(
         [files.slice(i, 1) for i in range(len(files))] or [files]
     ).map_batches(read_shard, batch_format="pyarrow")
+
+
+def read_jsonl_pages(paths_glob: str) -> "ray.data.Dataset":
+    """Loose JSONL page files (one ``{url, content, encoding}`` object per
+    line — the reference's per-page JSON shape without the tar wrapper) →
+    the PAGES_SCHEMA Dataset.  Files read in parallel (one task per file);
+    crawl_seq = ``file_index · 2³² + line_index``, a total order that
+    respects sorted-file order so downstream first-wins dedup is
+    deterministic (same convention as :func:`read_tar_shards`)."""
+    import glob as _glob
+    import json as _json
+
+    import ray.data
+
+    paths = sorted(_glob.glob(paths_glob))
+    if not paths:
+        return ray.data.from_arrow([pa.Table.from_pydict(
+            {n: [] for n in PAGES_SCHEMA.names}, schema=PAGES_SCHEMA)])
+
+    def read_file(batch: pa.Table) -> pa.Table:
+        cols = {n: [] for n in PAGES_SCHEMA.names}
+        for path, file_i in zip(batch["path"].to_pylist(),
+                                batch["file_i"].to_pylist()):
+            with open(path, "r", encoding="utf-8") as f:
+                for line_i, line in enumerate(f):
+                    line = line.strip()
+                    if not line:
+                        continue
+                    url, content, encoding = _page_row(_json.loads(line))
+                    cols["url"].append(url)
+                    cols["content"].append(content)
+                    cols["encoding"].append(encoding)
+                    cols["crawl_seq"].append((file_i << 32) + line_i)
+        return pa.Table.from_pydict(cols, schema=PAGES_SCHEMA)
+
+    files = pa.table({
+        "path": pa.array(paths, type=pa.string()),
+        "file_i": pa.array(range(len(paths)), type=pa.int64()),
+    })
+    return ray.data.from_arrow(
+        [files.slice(i, 1) for i in range(len(files))]
+    ).map_batches(read_file, batch_format="pyarrow")

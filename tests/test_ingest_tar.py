@@ -101,3 +101,39 @@ class TestTarParts:
         h0 = df[df["url"].str.contains("h0")]["crawl_seq"]
         h1 = df[df["url"].str.contains("h1")]["crawl_seq"]
         assert h0.max() < h1.min()
+
+
+class TestJsonlPages:
+    def test_jsonl_to_documents_end_to_end(self, ray_session, tmp_path):
+        import json
+
+        from spidey_ray.pipelines.ingest import (documents_from_pages,
+                                                 read_jsonl_pages)
+
+        rows = [
+            {"url": f"https://h0.example.com/p/{i}#frag",
+             "content": f"<html><head><title>T{i}</title></head>"
+                        f"<body><p>body {i} words here</p></body></html>",
+             "encoding": "utf-8"}
+            for i in range(7)
+        ]
+        (tmp_path / "a.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows[:4]) + "\n\n")
+        (tmp_path / "b.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows[4:]))
+        ds = read_jsonl_pages(str(tmp_path / "*.jsonl"))
+        pages = ds.to_pandas().sort_values("crawl_seq")
+        assert len(pages) == 7
+        # file order then line order; second file's seqs carry the 2^32 tag
+        assert pages["crawl_seq"].iloc[4] == (1 << 32)
+        docs = documents_from_pages(ds).to_pandas()
+        assert len(docs) == 7
+        assert set(docs["title"]) == {f"T{i}" for i in range(7)}
+        # urldefrag applied (Filter.py:49)
+        assert all("#" not in d for d in docs["doc_id"])
+
+    def test_empty_glob(self, ray_session, tmp_path):
+        from spidey_ray.pipelines.ingest import read_jsonl_pages
+
+        ds = read_jsonl_pages(str(tmp_path / "none-*.jsonl"))
+        assert ds.count() == 0

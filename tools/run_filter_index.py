@@ -4,6 +4,7 @@ pipeline — SURVEY.md §3.2).
 
 Input sources (pick one):
   --tar-parts 'page_data/data.tar.gz-parta*'   split tar parts (FilterMain.py shape)
+  --jsonl 'pages/*.jsonl'                      loose JSONL page files
   --tar-shards 'shards/*.tar.gz'               complete per-shard tars (parallel read)
   --pages pages.parquet|dir                    rows with (url, content[, encoding])
   --crawl-ckpt CKPT_DIR                        a CrawlEngine checkpoint's documents
@@ -28,6 +29,7 @@ def main() -> None:
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--tar-parts")
     src.add_argument("--tar-shards")
+    src.add_argument("--jsonl")
     src.add_argument("--pages")
     src.add_argument("--crawl-ckpt")
     ap.add_argument("--out", required=True)
@@ -46,13 +48,16 @@ def main() -> None:
 
     from spidey_ray.pipelines.filter_index import run_filter_index
     from spidey_ray.pipelines.ingest import (
-        documents_from_pages, read_tar_parts, read_tar_shards)
+        documents_from_pages, read_jsonl_pages, read_tar_parts,
+        read_tar_shards)
 
     t0 = time.time()
     if args.tar_parts:
         docs = documents_from_pages(read_tar_parts(args.tar_parts))
     elif args.tar_shards:
         docs = documents_from_pages(read_tar_shards(args.tar_shards))
+    elif args.jsonl:
+        docs = documents_from_pages(read_jsonl_pages(args.jsonl))
     elif args.pages:
         docs = documents_from_pages(ray.data.read_parquet(args.pages))
     else:
