@@ -106,12 +106,17 @@ def absolute_url(page_url: str, outlink_url: str) -> str:
     if (_SIMPLE_REL.match(outlink_url) and not outlink_url.startswith("//")
             and "/." not in outlink_url):    # dot segments need urljoin
         global _ABS_BASE
-        if _ABS_BASE is None or _ABS_BASE[0] != page_url:
+        # read the cache tuple ONCE into a local so the returned prefix
+        # always matches the page_url we checked — two threads parsing
+        # different pages can interleave on the module global otherwise
+        base = _ABS_BASE
+        if base is None or base[0] != page_url:
             p = urlparse(page_url)
             if p.scheme not in ("http", "https"):
                 return urldefrag(urljoin(page_url, outlink_url))[0]
-            _ABS_BASE = (page_url, f"{p.scheme}://{p.netloc}")
-        return _ABS_BASE[1] + outlink_url
+            base = (page_url, f"{p.scheme}://{p.netloc}")
+            _ABS_BASE = base
+        return base[1] + outlink_url
     return urldefrag(urljoin(page_url, outlink_url))[0]
 
 

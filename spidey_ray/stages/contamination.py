@@ -120,11 +120,16 @@ def pack_sequences(ds: "ray.data.Dataset", max_tokens: int,
     never span blocks) — the standard distributed approximation: FFD is
     within 11/9·OPT+1 bins of optimal per partition, and cross-partition
     packing would need a global shuffle for a ~1% fill gain.  bin_id is
-    ``(block_fingerprint << 20) | local_bin`` so ids are globally unique
-    and stable for a fixed input partitioning.  Documents longer than
-    ``max_tokens`` become singleton oversized bins (flagged via
-    ``bin_fill > max_tokens``) — truncation policy belongs to the
-    tokenizer stage, not the packer."""
+    ``(min_block_doc_id << 21) | local_bin``: blocks partition the rows, so
+    the minimum id of a block is unique across blocks and the bin ids are
+    EXACTLY globally unique (for integer ids < 2^42 and < 2^21 bins per
+    block — both checked; a 100 TB corpus is ~10^11 docs and Ray blocks are
+    ≪ 2M rows).  Non-integer ids fall back to a full-32-bit crc32 tag
+    shifted clear of local_bin — unique only up to crc collisions across
+    blocks (birthday bound ~65k blocks), stated here rather than claimed
+    away.  Documents longer than ``max_tokens`` become singleton oversized
+    bins (flagged via ``bin_fill > max_tokens``) — truncation policy
+    belongs to the tokenizer stage, not the packer."""
 
     def pack(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -146,11 +151,25 @@ def pack_sequences(ds: "ray.data.Dataset", max_tokens: int,
             if not placed:
                 assign[k] = len(bins_fill)
                 bins_fill.append(c)
-        # block-unique prefix: fingerprint of the block's id sequence
-        import zlib
+        # block-unique prefix: the block's min id (blocks partition rows, so
+        # this is exact); crc32 fallback for non-integer id columns
+        n_bins = len(bins_fill)
+        if n_bins >= 1 << 21:
+            raise ValueError(
+                f"pack_sequences: {n_bins} bins in one block overflows the "
+                "21-bit local_bin field — reduce the block/batch size")
+        if ids and all(isinstance(i, int) for i in ids):
+            tag = min(ids)
+            if not 0 <= tag < 1 << 42:
+                raise ValueError(
+                    f"pack_sequences: doc id {tag} outside [0, 2^42) — "
+                    "bin_id packing needs a narrower id space")
+            base = np.int64(tag) << np.int64(21)
+        else:
+            import zlib
 
-        tag = zlib.crc32(",".join(map(str, ids)).encode()) & 0xFFFFF
-        base = np.int64(tag) << np.int64(20)
+            tag = zlib.crc32(",".join(map(str, ids)).encode()) & 0xFFFFFFFF
+            base = np.int64(tag) << np.int64(21)
         return pa.table({
             "bin_id": pa.array(base + assign, type=pa.int64()),
             id_col: batch[id_col],

@@ -14,6 +14,7 @@ Schleimer '03 (winnowing).
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -238,6 +239,12 @@ def _bucket_pairs_ids(g: pd.DataFrame,
     ids = np.asarray(sorted(set(g["doc_id"].tolist())), dtype=np.int64)
     n = len(ids)
     if n > max_bucket:
+        # no silent caps: star-capping drops anchor-dissimilar pairings of a
+        # MIXED oversized bucket unless another band re-proposes them
+        logging.getLogger(__name__).warning(
+            "LSH bucket truncated: %d distinct ids > max_bucket=%d; "
+            "emitting %d star pairs around anchor %d instead of %d all-pairs",
+            n, max_bucket, n - 1, int(ids[0]), n * (n - 1) // 2)
         return pd.DataFrame({"doc_a": np.full(n - 1, ids[0]),
                              "doc_b": ids[1:]})
     # vectorized upper-triangle expansion (no Python pair loop)
@@ -376,7 +383,8 @@ def attach_pair_attrs(pairs: "ray.data.Dataset", attrs: "ray.data.Dataset",
 def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
                       num_perm: int = 64, bands: int = 16,
                       text_col: str = "text",
-                      verify_broadcast_limit: int = 200_000) -> "ray.data.Dataset":
+                      verify_broadcast_limit: int = 200_000,
+                      max_bucket: int = _MAX_PAIR_BUCKET) -> "ray.data.Dataset":
     """Near-duplicate candidate pairs via banded minhash LSH.
 
     Shuffle discipline: signatures (num_perm × 8 bytes each) never enter the
@@ -398,6 +406,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.8,
             sigs.select_columns(["doc_id", "band_hashes"])
             .map_batches(_explode_bands, batch_format="pyarrow"),
             ["band", "band_hash"],
+            max_bucket=max_bucket,
         )
     )
     if n_docs > verify_broadcast_limit:

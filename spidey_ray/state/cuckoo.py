@@ -396,27 +396,49 @@ class CuckooShard:
                     b = pickle.load(f)
                 if "table" in b or "segments" in b:  # full blob
                     self.filter = ScalableCuckoo.restore(b)
-                else:                       # delta: replay adds then deletes
+                else:                       # delta: replay the ordered op log
                     if self.filter is None:
                         self.filter = ScalableCuckoo(b["n_buckets"], b["slots"])
-                    added = np.frombuffer(b["added"], dtype=np.uint64)
-                    if added.size:
-                        self.filter.seen_or_add(added)
-                    deleted = np.frombuffer(b["deleted"], dtype=np.uint64)
-                    if deleted.size:
-                        self.filter.delete(deleted)
+                    if "ops" in b:
+                        for kind, raw in b["ops"]:
+                            arr = np.frombuffer(raw, dtype=np.uint64)
+                            if not arr.size:
+                                continue
+                            if kind == "a":
+                                self.filter.seen_or_add(arr)
+                            else:
+                                self.filter.delete(arr)
+                    else:
+                        # legacy two-array blob (pre-op-log): adds then
+                        # deletes — only correct because those engines
+                        # ordered ops add-before-delete within each round
+                        added = np.frombuffer(b["added"], dtype=np.uint64)
+                        if added.size:
+                            self.filter.seen_or_add(added)
+                        deleted = np.frombuffer(b["deleted"], dtype=np.uint64)
+                        if deleted.size:
+                            self.filter.delete(deleted)
         elif blob is not None:
             self.filter = ScalableCuckoo.restore(blob)
         if self.filter is None:
             self.filter = ScalableCuckoo(n_buckets)
-        self._delta_added: list[np.ndarray] = []
-        self._delta_deleted: list[np.ndarray] = []
+        # ordered delta op log: (is_add, [chunks...]) runs, so an
+        # add→delete→re-add sequence within one delta window replays in
+        # sequence (a flat adds-then-deletes pair would restore the re-added
+        # key as absent)
+        self._delta_ops: list[tuple[bool, list[np.ndarray]]] = []
+
+    def _log_op(self, is_add: bool, arr: np.ndarray) -> None:
+        if self._delta_ops and self._delta_ops[-1][0] == is_add:
+            self._delta_ops[-1][1].append(arr)
+        else:
+            self._delta_ops.append((is_add, [arr]))
 
     def seen_or_add(self, keys: np.ndarray) -> np.ndarray:
         out = self.filter.seen_or_add(keys)
         new = keys[~out]
         if new.size:
-            self._delta_added.append(new.astype(np.uint64, copy=True))
+            self._log_op(True, new.astype(np.uint64, copy=True))
         return out
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
@@ -425,8 +447,7 @@ class CuckooShard:
     def delete(self, keys: np.ndarray) -> int:
         n = self.filter.delete(keys)
         if len(keys):
-            self._delta_deleted.append(
-                np.asarray(keys, dtype=np.uint64).copy())
+            self._log_op(False, np.asarray(keys, dtype=np.uint64).copy())
         return n
 
     def serialize(self) -> dict:
@@ -444,19 +465,15 @@ class CuckooShard:
             blob = {
                 "n_buckets": self.filter.n_buckets,
                 "slots": self.filter.slots,
-                "added": (np.concatenate(self._delta_added)
-                          if self._delta_added
-                          else np.array([], dtype=np.uint64)).tobytes(),
-                "deleted": (np.concatenate(self._delta_deleted)
-                            if self._delta_deleted
-                            else np.array([], dtype=np.uint64)).tobytes(),
+                "ops": [("a" if is_add else "d",
+                         np.concatenate(chunks).tobytes())
+                        for is_add, chunks in self._delta_ops],
             }
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             pickle.dump(blob, f)
         os.replace(tmp, path)
-        self._delta_added = []
-        self._delta_deleted = []
+        self._delta_ops = []
         return self.filter.count
 
     def count(self) -> int:

@@ -363,6 +363,31 @@ class TestCuckoo:
         assert np.array_equal(live.contains(allk), replay.contains(allk))
         assert replay.count == live.count
 
+    def test_delta_oplog_add_delete_readd_one_window(self, ray_session,
+                                                     tmp_path):
+        # deltas are an ORDERED op log: a key added, deleted, then re-added
+        # within ONE checkpoint window must restore as PRESENT (a flat
+        # adds-then-deletes replay would restore it absent)
+        import ray
+
+        from spidey_ray.state.cuckoo import CuckooShard
+
+        shard = CuckooShard.remote(n_buckets=1 << 8)
+        k = np.array([42], dtype=np.uint64)
+        others = np.arange(100, 200, dtype=np.uint64)
+        ray.get(shard.seen_or_add.remote(np.concatenate([k, others])))
+        ray.get(shard.delete.remote(k))
+        ray.get(shard.seen_or_add.remote(k))          # re-add, same window
+        gone = np.array([150], dtype=np.uint64)
+        ray.get(shard.delete.remote(gone))            # stays deleted
+        p = str(tmp_path / "delta.pkl")
+        ray.get(shard.checkpoint.remote(p, False))
+
+        restored = CuckooShard.remote(chain_paths=[p])
+        assert ray.get(restored.contains.remote(k)).all()
+        assert not ray.get(restored.contains.remote(gone)).any()
+        assert ray.get(restored.contains.remote(others[:5])).all()
+
     def test_scalable_serialize_roundtrip_and_flat_compat(self):
         from spidey_ray.state.cuckoo import ScalableCuckoo
 

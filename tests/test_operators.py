@@ -599,6 +599,26 @@ class TestSequencePacking:
         key = lambda d: sorted(map(tuple, d.values))  # noqa: E731
         assert key(a) == key(b)
 
+    def test_bin_ids_globally_unique_across_blocks(self, ray_session):
+        # bin_id tag = the block's min doc_id (blocks partition rows →
+        # exactly unique across blocks); the old 20-bit crc tag collided at
+        # ~1,200 blocks
+        import ray.data
+
+        from spidey_ray.stages.contamination import pack_sequences
+
+        rows = [{"doc_id": i, "text": "tok " * 40} for i in range(400)]
+        out = pack_sequences(
+            ray.data.from_items(rows).repartition(16), max_tokens=128
+        ).to_pandas()
+        out["tag"] = out["bin_id"].to_numpy() >> 21
+        # every tag is the min doc_id of the rows sharing it (block min)
+        for tag, grp in out.groupby("tag"):
+            assert tag == grp["doc_id"].min()
+        # bins never mix docs from different tags, and every doc shows once
+        assert len(out) == 400
+        assert (out["bin_id"].to_numpy() >> 21 == out["tag"].to_numpy()).all()
+
 
 class TestTDigest:
     def test_rank_accuracy_heavy_tail(self):
