@@ -103,6 +103,35 @@ def _cpu_stat() -> tuple[int, int]:
     return sum(vals), vals[7] if len(vals) > 7 else 0
 
 
+STEAL_THRESH = float(os.environ.get("GRAFT_STEAL_THRESH", "5.0"))
+MAX_HEADLINE_TRIES = int(os.environ.get("GRAFT_HEADLINE_TRIES", "4"))
+
+
+def sample_headline(num_cpus: int) -> dict:
+    """Steal-AWARE headline capture: this VM's hypervisor steal arrives in
+    bursts (0.1%→10%+ within minutes, BASELINE.md), so a single unlucky
+    sample reads as a fake regression.  Measure steal PER SAMPLE and
+    re-sample (bounded at MAX_HEADLINE_TRIES) until one lands under
+    STEAL_THRESH; report the fastest low-steal sample, or the least-stolen
+    one if the burst outlasts every try."""
+    samples = []
+    for _ in range(MAX_HEADLINE_TRIES):
+        t0, s0 = _cpu_stat()
+        r = run_crawl(num_cpus)
+        t1, s1 = _cpu_stat()
+        r["steal_pct"] = round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
+        samples.append(r)
+        if len(samples) >= 2 and any(
+                s["steal_pct"] < STEAL_THRESH for s in samples):
+            break
+    low = [s for s in samples if s["steal_pct"] < STEAL_THRESH]
+    best = (min(low, key=lambda r: r["sec"]) if low
+            else min(samples, key=lambda r: r["steal_pct"]))
+    return dict(best,
+                samples_sec=[s["sec"] for s in samples],
+                samples_steal_pct=[s["steal_pct"] for s in samples])
+
+
 def main() -> None:
     import logging
 
@@ -121,18 +150,11 @@ def main() -> None:
         # harness already takes best-of-N at its own level)
         crawl = run_crawl(NUM_CPUS)
     else:
-        # headline mode: best of two — this VM's steal arrives in bursts
-        # (see steal_pct + BASELINE.md), and a single unlucky sample would
-        # read as a regression against the recorded baseline
-        a = run_crawl(NUM_CPUS)
-        b = run_crawl(NUM_CPUS)
-        crawl = a if a["sec"] <= b["sec"] else b
-        crawl = dict(crawl, samples_sec=[a["sec"], b["sec"]])
+        crawl = sample_headline(NUM_CPUS)
     queries = {} if CRAWL_ONLY else run_queries(SF_DIR)
     total1, steal1 = _cpu_stat()
-    # this VM sees bursty hypervisor steal (BASELINE.md: ±15-20% run
-    # variance); report the run's own exposure so a slow sample is
-    # attributable — compare same-steal runs, prefer the least-stolen
+    # whole-run steal exposure (headline retries + queries) — the queries
+    # section is NOT re-sampled, so compare query timings same-steal only
     steal_pct = round(100.0 * (steal1 - steal0) / max(1, total1 - total0), 2)
 
     print(json.dumps({
@@ -143,6 +165,8 @@ def main() -> None:
         "urls_per_sec": crawl["urls_per_sec"],
         "rounds": crawl["rounds"],
         "samples_sec": crawl.get("samples_sec", [crawl["sec"]]),
+        "samples_steal_pct": crawl.get("samples_steal_pct"),
+        "headline_steal_pct": crawl.get("steal_pct"),
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
