@@ -214,7 +214,12 @@ from html.parser import tagfind_tolerant as _TAGFIND
 _SIMPLE_START = _re.compile(
     r'<([a-zA-Z][a-zA-Z0-9]*)'
     r'((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*'
-    r'(?:\s*=\s*(?:"[^"<]*"|\'[^\'<]*\'|[^\s<>\'"/=`]+))?)*)'
+    # bare values swallow a trailing '/' like the stdlib-tolerant grammar
+    # ('<a href=v/>' is a NORMAL start tag with value "v/", never
+    # self-closing — fuzz find), but exclude quotes/'='/'<'/backtick so any
+    # messier construct ('<a F=">', '<title s==\'\'/>') falls through to
+    # the exact _starttag_mirror instead of matching with wrong extents
+    r'(?:\s*=\s*(?:"[^"<]*"|\'[^\'<]*\'|[^\s>\'"=<`]+))?)*)'
     r'\s*(/?)>'
 )
 _SCAN_ATTR = _re.compile(
@@ -224,11 +229,23 @@ _RAWTEXT_END = {
     "style": _re.compile(r'</\s*style', _re.I),
 }
 _COMMENT_CLOSE = _re.compile(r'--\s*>')        # stdlib allows '--  >'
+# marked-section (<![...) mirror of _markupbase.parse_marked_section
+_DECLNAME = _re.compile(r'[a-zA-Z][-_.a-zA-Z0-9]*\s*')
+_MS_CLOSE = _re.compile(r']\s*]\s*>')          # standard ]]> (spaces legal)
+_MSO_CLOSE = _re.compile(r']\s*>')             # MS Office <![if ...]> form
 _LETTERS_EQ_SLASH = frozenset(
     "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ")
 # tags whose attributes the extractor actually reads — the strict fast path
 # skips attr parsing for every other tag (class-soup pages pay nothing)
 _ATTR_TAGS = frozenset({"a"}) | MEDIA_TAGS
+
+
+class _FastBail(Exception):
+    """Raised by the fast scanner at constructs where html.parser's
+    _markupbase ERRORS mid-parse (error() → NotImplementedError), dropping
+    the rest of the document.  parse_document catches it and redoes the page
+    through the stdlib mirror so behavior — including the dropped tail —
+    stays identical."""
 
 
 def _unesc(s: str) -> str:
@@ -386,11 +403,29 @@ def _fast_feed(x: "_SpanExtractor", content: str) -> None:
                 x.handle_comment(content[lt + 4:em.start()])
                 pos = em.end()
             elif content.startswith("<![", lt):
-                end = find("]>", lt + 3)        # unknown_decl → no event
-                if end < 0:
+                # parse_marked_section mirror: name scan, keyword check
+                # (unknown keyword / non-name → stdlib error()s: bail),
+                # ']]>' close for standard sections, ']>' for MS Office
+                if lt + 3 == n:
                     pos = _incomplete(x, content, lt, find)
                     continue
-                pos = end + 2
+                dm = _DECLNAME.match(content, lt + 3)
+                if dm is None:
+                    raise _FastBail
+                if dm.end() == n:               # name runs to EOF: incomplete
+                    pos = _incomplete(x, content, lt, find)
+                    continue
+                name = dm.group().strip().lower()
+                if name in ("temp", "cdata", "ignore", "include", "rcdata"):
+                    em = _MS_CLOSE.search(content, lt + 3)
+                elif name in ("if", "else", "endif"):
+                    em = _MSO_CLOSE.search(content, lt + 3)
+                else:
+                    raise _FastBail
+                if em is None:
+                    pos = _incomplete(x, content, lt, find)
+                    continue
+                pos = em.end()                  # unknown_decl → no event
             elif content[lt + 2:lt + 9].lower() == "doctype":
                 gt = find(">", lt)              # handle_decl → no event
                 if gt < 0:

@@ -345,6 +345,89 @@ class TestFastParserDifferential:
                 content = content[:rng.randint(0, len(content))]
             self._compare(content)
 
+    def test_generative_fuzz_identical(self):
+        """Seeded GENERATIVE fuzzer (vs the curated-piece soup above):
+        random tag/attribute/entity construction, raw char soup biased
+        toward markup metacharacters, and random mutations of well-formed
+        pages — thousands of documents, fast path ≡ stdlib path on every
+        one (span sequence, title, tag counts, links)."""
+        import random
+
+        rng = random.Random(0xF00D)
+        tags = ["p", "a", "div", "b", "script", "style", "title", "br",
+                "img", "li", "h1", "td", "x:y", "foo-bar", "P", "ScRiPt"]
+        attr_names = ["href", "src", "id", "class", "data-x", "HREF", "=",
+                      "a'b", 'a"b', "-x"]
+        ent = ["&amp;", "&lt;", "&#65;", "&#x41;", "&#xZZ;", "&unknown;",
+               "&amp", "&#;", "&", "&;", "&#x;", "&gt"]
+        words = ["alpha", "beta", "gamma", "zig", "zag", "é", "日本", "x'y",
+                 'q"r', "a=b", "c;d"]
+
+        def rand_attr():
+            name = rng.choice(attr_names)
+            r = rng.random()
+            if r < 0.25:
+                return name                                   # bare
+            v = "".join(rng.choices(words + ent, k=rng.randint(0, 2)))
+            if r < 0.5:
+                return f"{name}={v or 'v'}"                   # unquoted
+            q = "'" if r < 0.75 else '"'
+            return f"{name}={q}{v}{q}"                        # quoted
+
+        def rand_start():
+            t = rng.choice(tags)
+            attrs = " ".join(rand_attr() for _ in range(rng.randint(0, 3)))
+            close = rng.choice([">", "/>", " >", " / >", "", " x>"])
+            return f"<{t}{' ' + attrs if attrs else ''}{close}"
+
+        def rand_frag():
+            r = rng.random()
+            if r < 0.30:
+                return rand_start()
+            if r < 0.45:
+                t = rng.choice(tags)
+                return rng.choice([f"</{t}>", f"</{t} >", f"</{t} junk>",
+                                   f"</{t}", "</>", "</ x>"])
+            if r < 0.60:
+                return " ".join(rng.choices(words, k=rng.randint(1, 4)))
+            if r < 0.70:
+                return rng.choice(ent)
+            if r < 0.80:
+                body = " ".join(rng.choices(words, k=rng.randint(0, 3)))
+                return rng.choice([f"<!--{body}-->", f"<!--{body}",
+                                   f"<!--{body}--!>", f"<![CDATA[{body}]]>",
+                                   f"<![CDATA[{body}", f"<!{body}>",
+                                   f"<?{body}?>", f"<?{body}",
+                                   "<!doctype html>", f"<!DOCTYPE {body}"])
+            # raw metacharacter soup
+            return "".join(rng.choices("<>/!&;=-'\"ab \n\t#?[]", k=rng.randint(1, 12)))
+
+        for _ in range(3000):
+            content = "".join(rand_frag() for _ in range(rng.randint(1, 30)))
+            if rng.random() < 0.2:      # truncate mid-construct
+                content = content[:rng.randint(0, len(content))]
+            self._compare(content)
+
+        # mutation pass: splice/delete/duplicate characters of a valid page
+        base = ("<html><head><title>T&amp;T</title></head><body>"
+                "<h1>Head</h1><p>alpha <b>bold</b> omega &lt;x&gt;</p>"
+                "<script>var s = '<div>no</div>';</script>"
+                "<a href='/p/1'>one</a><!-- note --><ul><li>i</li></ul>"
+                "</body></html>")
+        meta = "<>/!&;='\"-"
+        for _ in range(2000):
+            s = list(base)
+            for _ in range(rng.randint(1, 6)):
+                op = rng.random()
+                i = rng.randrange(len(s))
+                if op < 0.4:
+                    s[i] = rng.choice(meta)
+                elif op < 0.7:
+                    del s[i]
+                else:
+                    s.insert(i, rng.choice(meta + "abc "))
+            self._compare("".join(s))
+
     def test_absolute_url_matches_stdlib(self):
         from urllib.parse import urldefrag, urljoin
 
