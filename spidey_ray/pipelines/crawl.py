@@ -139,6 +139,8 @@ class EngineResult:
             frames = list(self._fetched_frames)
             if self._ckpt_dir and not frames:
                 for f in self._round_files("fetched_delta.parquet"):
+                    # full-width read is intentional: every column feeds the
+                    # `frontier` property's fetched+pending concat
                     fd = pq.read_table(f).to_pandas()
                     if len(fd):
                         fd["url_hash"] = fd["url_hash"].map(bytes)
@@ -202,12 +204,18 @@ class EngineResult:
         return self._excluded_cache
 
     # ---- scale accessors ----------------------------------------------
-    def fetch_log_dataset(self) -> "ray.data.Dataset | None":
+    def fetch_log_dataset(
+            self, columns: list[str] | None = None,
+    ) -> "ray.data.Dataset | None":
         """Streaming form of :attr:`fetch_log`: the checkpointed per-round
         fetched_delta logs as a Dataset (ordered by fetch_seq within and
-        across files); nothing materializes on the driver."""
+        across files); nothing materializes on the driver.  Pass ``columns``
+        to prune the scan to what the consumer reads (e.g. ``["url",
+        "fetch_seq"]`` for a plain ordered log)."""
         files = self._round_files("fetched_delta.parquet")
-        return ray.data.read_parquet(files) if files else None
+        if not files:
+            return None
+        return ray.data.read_parquet(files, columns=columns)
 
     @property
     def host_snapshots(self) -> dict[str, dict]:

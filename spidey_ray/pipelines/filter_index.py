@@ -223,8 +223,14 @@ def run_filter_index(
         doc_meta = numbered.map_batches(
             _doc_meta_batch_joined, batch_format="pyarrow")
 
+    # serving layout: key-sorted + compacted (≈262k docs per file) so the
+    # serving replica's footer index (_RowGroupIndex) prunes every lookup to
+    # O(1) files with tight row-group statistics — dozens of writer-block-
+    # sized fragments were the dominant cold-query cost
     meta_path = os.path.join(out_dir, "doc_meta")
-    sio.write_table(doc_meta, meta_path)
+    sio.write_table(
+        doc_meta.sort("doc_id").repartition(max(1, n_docs // 262_144)),
+        meta_path)
 
     # 4b. postings: emit + df/tf-idf/per-stem order in ONE shuffle, keyed on
     # the stable stem-hash bucket (512 fat groups — grouping on the raw stem
@@ -237,8 +243,12 @@ def run_filter_index(
             lambda g: score_stem_group(g, n_docs), batch_format="pyarrow",
         )
     )
+    # compact the per-bucket map_groups blocks (order-preserving coalesce:
+    # bucket runs stay contiguous, within-stem posting order survives);
+    # ~4k docs' postings per file keeps per-query reads to a file or two
     postings_path = os.path.join(out_dir, "postings")
-    sio.write_table(postings, postings_path)
+    sio.write_table(postings.repartition(max(1, n_docs // 4096)),
+                    postings_path)
 
     # num_documents.txt analog (Filter.py:130-131) so an index directory is
     # self-describing for serving

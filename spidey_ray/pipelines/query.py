@@ -14,6 +14,7 @@ data structure is the only swap.
 from __future__ import annotations
 
 import math
+import os
 import time
 
 import pyarrow as pa
@@ -222,19 +223,88 @@ def load_query_index(postings_path: str, doc_meta_path: str,
     )
 
 
+class _RowGroupIndex:
+    """Persistent key → row-group map built from the parquet FOOTERS at
+    replica init (metadata-only — no data pages touched): for every row
+    group of every file, the min/max statistics of ``key_col``.  Queries
+    then read exactly the matching row groups with
+    ``ParquetFile.read_row_groups`` — no per-query dataset-scanner setup,
+    which dominated cold latency (~10-30 ms per ``to_table`` call; direct
+    row-group reads are ~1 ms).  This is the Ray-side analogue of the
+    reference's up-front stem→file-offset table (Query.py:56-72)."""
+
+    def __init__(self, path: str, key_col: str):
+        import pyarrow.parquet as pq_
+
+        if os.path.isdir(path):
+            paths = sorted(
+                os.path.join(r, f)
+                for r, _, fs in os.walk(path)
+                for f in fs if f.endswith(".parquet"))
+        else:
+            paths = [path]
+        self.files: list = []        # (ParquetFile, [(min,max)|None per rg])
+        for p in paths:
+            pf = pq_.ParquetFile(p)
+            md = pf.metadata
+            col = next(
+                (j for j in range(md.num_columns)
+                 if md.row_group(0).column(j).path_in_schema == key_col),
+                None) if md.num_row_groups else None
+            stats = []
+            for i in range(md.num_row_groups):
+                st = (md.row_group(i).column(col).statistics
+                      if col is not None else None)
+                stats.append((st.min, st.max)
+                             if st is not None and st.has_min_max else None)
+            self.files.append((pf, stats))
+        # parquet reads release the GIL; a small pool turns N matched-file
+        # reads (~0.25 ms each, dozens when the writer emitted many small
+        # blocks) into ~max(N/8) wall — the remaining cold-latency term
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=8)
+
+    def read(self, keys, columns: list[str]) -> pa.Table:
+        """Concat of the row groups whose [min,max] covers any key, in file
+        order (row order within a file is preserved, so within-stem posting
+        order survives exactly as with the dataset scan).  Row groups with
+        missing statistics are conservatively read."""
+        keys = sorted(keys)
+        matched = []
+        for pf, stats in self.files:
+            rgs = [i for i, mm in enumerate(stats)
+                   if mm is None or any(mm[0] <= k <= mm[1] for k in keys)]
+            if rgs:
+                matched.append((pf, rgs))
+        if not matched:
+            empty = self.files[0][0].schema_arrow if self.files else None
+            if empty is None:
+                return pa.table({c: [] for c in columns})
+            return empty.empty_table().select(columns)
+        tabs = list(self._pool.map(
+            lambda fr: fr[0].read_row_groups(fr[1], columns=columns),
+            matched))
+        return pa.concat_tables(tabs)
+
+
 class PartitionedQueryIndex(QueryIndex):
     """Corpus-scale serving: postings and doc_meta stay ON DISK.
 
     The in-memory ``QueryIndex`` loads the whole postings table into a
     serving actor — fine for one node's index, corpus-sized at 100×.  This
-    variant serves every query with two pruned parquet scans instead:
+    variant keeps only a FOOTER INDEX in memory (``_RowGroupIndex``: per
+    row group, the min/max of the pruning key, built once at replica init
+    from parquet metadata) and serves every query with direct row-group
+    reads instead:
 
-    - postings: one read per query filtered on the query stems' hash
-      buckets + the stems themselves (``bucket`` is retained in the scored
-      output exactly for this row-group pruning; a stem's rows are
-      contiguous in one file so within-stem posting order — tfidf-desc
-      unigram / doc-order bigram, Indexer.py:166-168 — survives the scan),
-    - doc_meta: one read per query for only the scored doc ids.
+    - postings: the row groups covering the query stems' hash buckets
+      (``bucket`` is retained in the scored output exactly for this
+      pruning; a stem's rows are contiguous in one file so within-stem
+      posting order — tfidf-desc unigram / doc-order bigram,
+      Indexer.py:166-168 — survives the read), stem/is_bigram filtered
+      in-memory with Arrow kernels,
+    - doc_meta: the row groups covering the scored doc ids.
 
     Both feed small LRU-ish caches, so a serving replica's memory is
     O(active stems), not O(corpus).  Replicas are stateless over the files
@@ -243,10 +313,8 @@ class PartitionedQueryIndex(QueryIndex):
     def __init__(self, postings_path: str, doc_meta_path: str,
                  num_documents: int, stem_cache_size: int = 65536,
                  doc_cache_size: int = 1 << 20):
-        import pyarrow.dataset as pads
-
-        self._postings = pads.dataset(postings_path, format="parquet")
-        self._meta = pads.dataset(doc_meta_path, format="parquet")
+        self._postings = _RowGroupIndex(postings_path, "bucket")
+        self._meta = _RowGroupIndex(doc_meta_path, "doc_id")
         self.num_documents = num_documents
         self.stopwords = QUERY_STOPWORDS
         self._stem_cache: dict[tuple[str, bool], list] = {}
@@ -267,15 +335,15 @@ class PartitionedQueryIndex(QueryIndex):
         missing = sorted({s for s in stems
                           if (s, use_bigram) not in self._stem_cache})
         if missing:
-            import pyarrow.dataset as pads
+            import pyarrow.compute as pc_
 
-            flt = (
-                pads.field("bucket").isin([_stem_bucket(s) for s in missing])
-                & pads.field("stem").isin(missing)
-                & (pads.field("is_bigram") == use_bigram)
-            )
-            t = self._postings.to_table(
-                filter=flt, columns=["stem", "doc_id", "positions", "tfidf"])
+            t = self._postings.read(
+                {_stem_bucket(s) for s in missing},
+                ["bucket", "stem", "doc_id", "positions", "tfidf",
+                 "is_bigram"])
+            t = t.filter(pc_.and_(
+                pc_.is_in(t["stem"], value_set=pa.array(missing)),
+                pc_.equal(t["is_bigram"], use_bigram)))
             loaded: dict[str, list] = {s: [] for s in missing}
             for stem, doc_id, positions, tfidf in zip(
                 t["stem"].to_pylist(), t["doc_id"].to_pylist(),
@@ -302,11 +370,11 @@ class PartitionedQueryIndex(QueryIndex):
         missing = sorted({int(d) for d in doc_ids if d not in self._doc_cache})
         if not missing:
             return
-        import pyarrow.dataset as pads
+        import pyarrow.compute as pc_
 
-        t = self._meta.to_table(
-            filter=pads.field("doc_id").isin(missing),
-            columns=["doc_id", "title", "url", "n_tokens"])
+        t = self._meta.read(missing, ["doc_id", "title", "url", "n_tokens"])
+        t = t.filter(pc_.is_in(
+            t["doc_id"], value_set=pa.array(missing, type=pa.int64())))
         # Snapshot everything the in-flight query needs (already-cached ids
         # included) BEFORE evicting, so the clear can't drop entries that
         # _doc_len/_doc_title_url will read right after this prefetch.

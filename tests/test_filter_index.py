@@ -167,6 +167,29 @@ class TestPartitionedServing:
         for q in ("home page", "page"):
             assert qi.query(q)[0] == pqi.query(q)[0]
 
+    def test_cold_query_latency_under_20ms(self, ray_session, ray_index):
+        """Cold partitioned query < 20 ms on the demo index: the replica's
+        footer row-group index + the compacted key-sorted serving layout
+        replace per-query dataset-scanner setup (was ~70 ms).  Best-of-5 to
+        ride out this VM's hypervisor-steal bursts."""
+        import time
+
+        from spidey_ray.pipelines.query import PartitionedQueryIndex
+
+        res, _, _ = ray_index
+        # warm process-wide imports (pyarrow.compute etc.), NOT the caches —
+        # each timed instance below starts with empty stem/doc caches
+        PartitionedQueryIndex(res.postings_path, res.doc_meta_path,
+                              res.num_documents).query("home page")
+        best = float("inf")
+        for _ in range(5):
+            pqi = PartitionedQueryIndex(res.postings_path, res.doc_meta_path,
+                                        res.num_documents)
+            t0 = time.perf_counter()
+            pqi.query("home page")
+            best = min(best, (time.perf_counter() - t0) * 1000)
+        assert best < 20.0, f"cold query {best:.1f} ms"
+
     def test_cache_overflow_mid_query(self, ray_session, ray_index):
         """Eviction at capacity must never drop entries the IN-FLIGHT query
         needs: with caches of size ~1 every multi-stem query overflows while
