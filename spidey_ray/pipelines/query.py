@@ -243,6 +243,12 @@ class _RowGroupIndex:
                 for f in fs if f.endswith(".parquet"))
         else:
             paths = [path]
+        if not paths:
+            raise NotImplementedError(
+                f"no parquet files under {path!r}: the partitioned serving "
+                "index reads parquet footers directly — serve a Lance-"
+                "written index from its parquet export (io.HAVE_LANCE "
+                "layouts are not footer-indexable here)")
         self.files: list = []        # (ParquetFile, [(min,max)|None per rg])
         for p in paths:
             pf = pq_.ParquetFile(p)

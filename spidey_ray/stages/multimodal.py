@@ -86,10 +86,21 @@ class MediaDecodeStage:
                     "FAKEIMG path (allow_real_codecs=False)"
                 ) from e
 
+    def _decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        if self.real is not None and not payload.startswith(_MAGIC):
+            # real branch (exercised by the `optional` contract tests in an
+            # env with Pillow): grayscale decode of an actual image payload
+            import io as _io
+
+            img = self.real.open(_io.BytesIO(payload)).convert("L")
+            px = np.asarray(img, dtype=np.uint8)
+            return img.width, img.height, px
+        return _decode_fake(payload)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, means, stds = [], [], [], []
         for payload in batch["payload"].to_pylist():
-            w, h, px = _decode_fake(payload)
+            w, h, px = self._decode(payload)
             widths.append(w)
             heights.append(h)
             means.append(round(float(px.mean()), 4))

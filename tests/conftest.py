@@ -24,3 +24,11 @@ def ray_session():
     ctx.enable_progress_bars = False
     yield
     ray.shutdown()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "optional: exercises real optional-dependency branches "
+        "(Pillow/lance/cbor); skips automatically where the wheel is absent",
+    )
