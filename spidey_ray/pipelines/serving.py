@@ -63,6 +63,55 @@ def make_rest_server(query_index, host: str = "127.0.0.1", port: int = 0):
     return ThreadingHTTPServer((host, port), Handler)
 
 
+class ReplicatedQueryIndex:
+    """uWSGI-parity serving pool (the reference's init_uwsgi.sh runs
+    2 processes × 2 threads): N stateless replica ACTORS over the on-disk
+    partitioned index, round-robined per request.
+
+    Each replica process holds its own footer row-group index and
+    stem/doc caches (exactly what a uWSGI worker holds), so queries run in
+    true parallel across processes instead of contending on one
+    interpreter's GIL.  The REST layer plugs this in unchanged — it only
+    calls ``results_with_info`` / ``query``.  Scale-out on a cluster is
+    the same object with ``n_replicas`` spread across nodes."""
+
+    def __init__(self, postings_path: str, doc_meta_path: str,
+                 num_documents: int, n_replicas: int = 2):
+        import itertools
+
+        import ray
+
+        @ray.remote(num_cpus=0.01)   # lookup-bound; don't reserve cores
+        class _QueryReplica:
+            def __init__(self, postings_path, doc_meta_path, num_documents):
+                from .query import PartitionedQueryIndex
+
+                self.qi = PartitionedQueryIndex(
+                    postings_path, doc_meta_path, num_documents)
+
+            def results_with_info(self, text):
+                return self.qi.results_with_info(text)
+
+            def query(self, text):
+                return self.qi.query(text)
+
+        self._ray = ray
+        self._replicas = [
+            _QueryReplica.remote(postings_path, doc_meta_path, num_documents)
+            for _ in range(n_replicas)
+        ]
+        self._rr = itertools.count()
+
+    def _pick(self):
+        return self._replicas[next(self._rr) % len(self._replicas)]
+
+    def results_with_info(self, text: str):
+        return self._ray.get(self._pick().results_with_info.remote(text))
+
+    def query(self, text: str):
+        return tuple(self._ray.get(self._pick().query.remote(text)))
+
+
 def serve_forever(query_index, host: str = "127.0.0.1", port: int = 8000):
     srv = make_rest_server(query_index, host, port)
     print(f"serving on http://{srv.server_address[0]}:{srv.server_address[1]}")

@@ -114,3 +114,53 @@ class TestRestPartitionedServing:
         # identical ranked [title, url] results as the in-memory index
         _, _, mem_body = _get(rest_server + "/?q=" + quote("home page"))
         assert body["results"] == mem_body["results"]
+
+
+class TestReplicatedServing:
+    def test_replica_pool_behind_rest(self, ray_session, tmp_path_factory,
+                                      rest_server):
+        """uWSGI-parity replica pool (2 actor replicas, round-robined):
+        concurrent REST requests spread across processes yet return the
+        same ranked results as the single in-memory index."""
+        import ray.data
+
+        from spidey_ray.pipelines.filter_index import run_filter_index
+        from spidey_ray.pipelines.oracle import crawl_serial
+        from spidey_ray.pipelines.serving import (ReplicatedQueryIndex,
+                                                  make_rest_server)
+        from spidey_ray.sources.synthetic_web import WebConfig
+
+        res = crawl_serial(WebConfig(n_hosts=6, pages_per_host=8, n_seeds=3))
+        order = {u: i for i, u in enumerate(res.fetch_log)}
+        rows = [dict(doc_id=u, title=res.titles[u], spans=s,
+                     crawl_seq=order[u])
+                for u, s in res.documents.items()]
+        out = str(tmp_path_factory.mktemp("rest_repl"))
+        fi = run_filter_index(ray.data.from_items(rows), out)
+        pool = ReplicatedQueryIndex(fi.postings_path, fi.doc_meta_path,
+                                    fi.num_documents, n_replicas=2)
+        srv = make_rest_server(pool)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            _, _, mem_body = _get(rest_server + "/?q=" + quote("home page"))
+            outs = []
+            lock = threading.Lock()
+
+            def hit():
+                _, _, b = _get(base + "/?q=" + quote("home page"))
+                with lock:
+                    outs.append(b)
+
+            threads = [threading.Thread(target=hit) for _ in range(6)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert len(outs) == 6
+            # > n_replicas requests → both replicas served at least once;
+            # every response identical to the in-memory index
+            assert all(o["results"] == mem_body["results"] for o in outs)
+            assert pool.query("home page")[0]
+        finally:
+            srv.shutdown()

@@ -2,8 +2,12 @@
 uWSGI, init_uwsgi.sh).
 
 Usage:
-  python tools/serve_rest.py <index_dir> [port]    # serve an index dir
+  python tools/serve_rest.py <index_dir> [port] [--replicas N]
   python tools/serve_rest.py demo [port]           # build + serve demo index
+
+--replicas N serves through N PartitionedQueryIndex actor replicas
+(uWSGI-parity: the reference runs 2 processes x 2 threads); default is the
+single in-memory index.
 
 <index_dir> is a pipelines.filter_index.run_filter_index output directory.
 Endpoint: GET /?q=<text> → {"results": [[title, url], ...], "time": ms}.
@@ -29,8 +33,14 @@ def main() -> None:
     from spidey_ray.pipelines.query import QueryIndex
     from spidey_ray.pipelines.serving import serve_forever
 
-    index_dir = sys.argv[1] if len(sys.argv) > 1 else "demo"
-    port = int(sys.argv[2]) if len(sys.argv) > 2 else 8000
+    argv = list(sys.argv[1:])
+    n_replicas = 0
+    if "--replicas" in argv:
+        i = argv.index("--replicas")
+        n_replicas = int(argv[i + 1])
+        del argv[i:i + 2]
+    index_dir = argv[0] if argv else "demo"
+    port = int(argv[1]) if len(argv) > 1 else 8000
     if index_dir == "demo":
         import tempfile
 
@@ -43,11 +53,19 @@ def main() -> None:
     else:
         with open(os.path.join(index_dir, "index_meta.json")) as f:
             n_docs = json.load(f)["num_documents"]
-    qi = QueryIndex(
-        sio.read_table_arrow(os.path.join(index_dir, "postings")),
-        sio.read_table_arrow(os.path.join(index_dir, "doc_meta")),
-        n_docs,
-    )
+    if n_replicas > 0:
+        from spidey_ray.pipelines.serving import ReplicatedQueryIndex
+
+        qi = ReplicatedQueryIndex(
+            os.path.join(index_dir, "postings"),
+            os.path.join(index_dir, "doc_meta"),
+            n_docs, n_replicas=n_replicas)
+    else:
+        qi = QueryIndex(
+            sio.read_table_arrow(os.path.join(index_dir, "postings")),
+            sio.read_table_arrow(os.path.join(index_dir, "doc_meta")),
+            n_docs,
+        )
     try:
         serve_forever(qi, port=port)
     finally:
