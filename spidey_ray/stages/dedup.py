@@ -73,6 +73,57 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     )
 
 
+def line_dedup(ds: "ray.data.Dataset", text_col: str = "text",
+               id_col: str = "doc_id", sep: str = "\n",
+               num_buckets: int = 256) -> "ray.data.Dataset":
+    """CCNet-style line-level exact dedup: across the WHOLE corpus, each
+    distinct line survives only at its first occurrence (min (doc_id,
+    line_idx)); every later occurrence is dropped.  Output rows:
+    (doc_id, line_idx, line) of the surviving lines.
+
+    Scale shape: docs explode to line rows in the map stage, then ONE
+    hash-partitioned exchange on ``hash(line) % num_buckets`` fat buckets;
+    first-occurrence per line is a vectorized idxmin on the exact line
+    string inside each bucket (bucketing is by hash, the tie-break is by
+    value — hash collisions cannot merge distinct lines).  The line text
+    rides the shuffle once, which is what emitting surviving text costs
+    anyway (the hash-only variant would need a second join-back exchange
+    of the same text).  No driver state, no join."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        parts = _pc.split_pattern(
+            batch[text_col].combine_chunks(), pattern=sep)
+        flat = _pc.list_flatten(parts)
+        parent = _pc.list_parent_indices(parts)
+        lens = _pc.list_value_length(parts).to_numpy().astype(np.int64)
+        # per-list 0..n ordinals without a Python loop
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        idxs = np.arange(int(lens.sum()), dtype=np.int64) - starts
+        t = pa.table({
+            id_col: _pc.take(batch[id_col], parent),
+            "line_idx": pa.array(idxs),
+            "line": flat,
+        })
+        h = pd.util.hash_pandas_object(
+            pd.Series(flat.to_pandas(), dtype="object"), index=False,
+            hash_key="spidey-line-0000", categorize=False)
+        return t.append_column(
+            "_bucket", pa.array((h % num_buckets).astype("int32").to_numpy()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = g.sort_values([id_col, "line_idx"], kind="mergesort")
+        keep = order.drop_duplicates("line", keep="first")
+        return keep.drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------

@@ -620,6 +620,87 @@ class TestSequencePacking:
         assert (out["bin_id"].to_numpy() >> 21 == out["tag"].to_numpy()).all()
 
 
+class TestPiiScrub:
+    def test_redacts_and_counts(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.scrub import pii_scrub
+
+        rows = [
+            {"doc_id": 0,
+             "text": "mail a.b+c@x-corp.io and b@y.org call +1-555-0199 "
+                     "from 192.168.0.1 ok"},
+            {"doc_id": 1, "text": "clean text no pii at all"},
+            {"doc_id": 2, "text": "ip only 10.0.0.7 end"},
+        ]
+        out = (pii_scrub(ray.data.from_items(rows)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert out.loc[0, "text"] == ("mail <EMAIL> and <EMAIL> call "
+                                      "<PHONE> from <IP> ok")
+        assert (out.loc[0, ["n_email", "n_phone", "n_ip"]].tolist()
+                == [2, 1, 1])
+        assert out.loc[1, "text"] == rows[1]["text"]
+        assert out.loc[1, ["n_email", "n_phone", "n_ip"]].sum() == 0
+        assert out.loc[2, "text"] == "ip only <IP> end"
+
+    def test_streaming_pure_map_no_shuffle(self, ray_session):
+        # the stage must stay a pure map: plan has no all-to-all operator
+        import ray.data
+
+        from spidey_ray.stages.scrub import pii_scrub
+
+        ds = pii_scrub(ray.data.from_items(
+            [{"doc_id": i, "text": f"u{i}@x.io"} for i in range(10)]))
+        ds = ds.materialize()
+        stats = ds.stats()
+        assert "Sort" not in stats and "Shuffle" not in stats
+
+
+class TestLineDedup:
+    def _serial(self, rows):
+        seen, out = set(), []
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            for i, ln in enumerate(r["text"].split("\n")):
+                if ln not in seen:
+                    seen.add(ln)
+                    out.append((r["doc_id"], i, ln))
+        return sorted(out)
+
+    def test_first_occurrence_survives(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.dedup import line_dedup
+
+        rows = [
+            {"doc_id": 0, "text": "alpha beta\ncommon line\nunique zero"},
+            {"doc_id": 1, "text": "common line\nunique one\nalpha beta"},
+            {"doc_id": 2, "text": "common line\ncommon line\nunique two"},
+            {"doc_id": 3, "text": ""},          # empty doc → one empty line
+            {"doc_id": 4, "text": "\ncommon line"},  # empty line dup of d3's
+        ]
+        out = line_dedup(ray.data.from_items(rows)).to_pandas()
+        got = sorted(zip(out["doc_id"].astype(int),
+                         out["line_idx"].astype(int), out["line"]))
+        assert got == self._serial(rows)
+
+    def test_random_corpus_matches_serial(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.dedup import line_dedup
+
+        rng = np.random.default_rng(13)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [{"doc_id": d,
+                 "text": "\n".join(
+                     " ".join(rng.choice(vocab, 3))
+                     for _ in range(int(rng.integers(1, 12))))}
+                for d in range(200)]
+        out = line_dedup(ray.data.from_items(rows).repartition(8)).to_pandas()
+        got = sorted(zip(out["doc_id"].astype(int),
+                         out["line_idx"].astype(int), out["line"]))
+        assert got == self._serial(rows)
+
+
 class TestTDigest:
     def test_rank_accuracy_heavy_tail(self):
         from spidey_ray.stages.sketches import TDigest
