@@ -603,6 +603,13 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(docs.map_batches(with_lines, batch_format="pyarrow"))
 
 
+def q_gopher_repetition(sf_dir: str):
+    from spidey_ray.stages.textstats import gopher_repetition_batch
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(gopher_repetition_batch, batch_format="pyarrow"))
+
+
 def q_stratified_sample(sf_dir: str):
     """Content-deterministic stratified sampling of orders by status
     (md5-rank thresholds — bit-reproducible in any engine, which is why
@@ -1234,7 +1241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
-        # --- rows-only checks (position 41+): one per distinct capability ---
+        "gopher_repetition": q_gopher_repetition,
+        # --- rows-only checks (position 42+): one per distinct capability ---
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1244,7 +1252,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs": q_crawl_bfs,
         "search": q_search,
         "ivf_ann": q_ivf_ann,
-        "pq_ann": q_pq_ann,
         # --- tail (past the driver's 50-entry window): long-stable entries
         # covered elsewhere — minhash_pairs subsumed by minhash_dedup's row;
         # index_postings bit-exact-pytested + exercised by `search`; hnsw
@@ -1253,6 +1260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # media/audio honest-stub-backed, clean in r02 + judge's local r03 ---
         "minhash_pairs": q_minhash_pairs,
         "index_postings": q_index_postings,
+        "pq_ann": q_pq_ann,
         "hnsw_ann": q_hnsw_ann,
         "crawl_seen_set": q_crawl_seen_set,
         "crawl_documents": q_crawl_documents,
@@ -1608,6 +1616,50 @@ def oracle_sql() -> dict[str, str]:
                                           order by doc_id, line_idx) as rn
                 from lines)
             select doc_id, line_idx, line from ranked where rn = 1
+        """,
+        # Gopher repetition signals (Rae et al. 2021 A1) as integer basis
+        # points over the same 10-token line construction as line_dedup;
+        # integer // math keeps the value hash dtype-exact.
+        "gopher_repetition": f"""
+            with tok as (select doc_id, {_TOKEN_SQL} as toks from documents),
+            lines as (
+                select doc_id, array_to_string(toks[10*i+1 : 10*i+10], ' ')
+                       as line
+                from tok, unnest(generate_series(0,
+                    greatest(1, cast(ceil(len(toks) / 10.0) as int)) - 1))
+                    as t(i)),
+            lstat as (
+                select doc_id,
+                       10000 * (count(*) - count(distinct line)) // count(*)
+                           as dup_line_bp
+                from lines group by doc_id),
+            g2 as (
+                select doc_id,
+                       unnest(list_transform(generate_series(1, len(toks)-1),
+                           i -> toks[i] || ' ' || toks[i+1])) as g
+                from tok where len(toks) >= 2),
+            c2 as (select doc_id, g, count(*) as c from g2 group by 1, 2),
+            t2 as (select doc_id, 10000 * max(c) // sum(c) as top_2gram_bp
+                   from c2 group by doc_id),
+            g5 as (
+                select doc_id,
+                       unnest(list_transform(generate_series(1, len(toks)-4),
+                           i -> array_to_string(toks[i:i+4], ' '))) as g
+                from tok where len(toks) >= 5),
+            t5 as (select doc_id,
+                          10000 * (count(*) - count(distinct g)) // count(*)
+                              as dup_5gram_bp
+                   from g5 group by doc_id)
+            select tok.doc_id,
+                   lstat.dup_line_bp,
+                   cast(coalesce(t2.top_2gram_bp, 0) as bigint)
+                       as top_2gram_bp,
+                   cast(coalesce(t5.dup_5gram_bp, 0) as bigint)
+                       as dup_5gram_bp
+            from tok
+            join lstat on lstat.doc_id = tok.doc_id
+            left join t2 on t2.doc_id = tok.doc_id
+            left join t5 on t5.doc_id = tok.doc_id
         """,
         # marker-word + CJK-ratio language heuristic (textstats.LANG_MARKERS);
         # tie-break = lexicographically LARGEST lang, hence the fr→es→en→de

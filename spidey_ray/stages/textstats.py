@@ -114,6 +114,51 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
+def gopher_repetition_batch(batch: pa.Table, text_col: str = "text",
+                            line_tokens: int = 10) -> pa.Table:
+    """Gopher-style repetition quality signals (Rae et al. 2021, table A1),
+    per document, as INTEGER basis points (× 10,000, floor-divided) so the
+    driver's value-hash comparison is dtype-exact like quality_stop_ratio:
+
+    - ``dup_line_bp``: fraction of constructed ``line_tokens``-token lines
+      that repeat an earlier line of the SAME document,
+    - ``top_2gram_bp``: occurrences of the most frequent word 2-gram over
+      all 2-gram occurrences,
+    - ``dup_5gram_bp``: 5-gram occurrences that repeat an earlier one
+      (1 − distinct/total).
+
+    Pure map over the corpus — stream-safe at any scale."""
+    from collections import Counter
+
+    ids = batch["doc_id"].to_pylist()
+    d_line, t2, d5 = [], [], []
+    for t in batch[text_col].to_pylist():
+        toks = tokens_of(t)
+        n = len(toks)
+        n_lines = max(1, (n + line_tokens - 1) // line_tokens)
+        lines = [" ".join(toks[i * line_tokens:(i + 1) * line_tokens])
+                 for i in range(n_lines)]
+        d_line.append(10000 * (n_lines - len(set(lines))) // n_lines)
+        tot2 = n - 1 if n >= 2 else 0
+        if tot2:
+            top2 = max(Counter(zip(toks, toks[1:])).values())
+            t2.append(10000 * top2 // tot2)
+        else:
+            t2.append(0)
+        tot5 = n - 4 if n >= 5 else 0
+        if tot5:
+            distinct = len({tuple(toks[i:i + 5]) for i in range(tot5)})
+            d5.append(10000 * (tot5 - distinct) // tot5)
+        else:
+            d5.append(0)
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "dup_line_bp": pa.array(d_line, type=pa.int64()),
+        "top_2gram_bp": pa.array(t2, type=pa.int64()),
+        "dup_5gram_bp": pa.array(d5, type=pa.int64()),
+    })
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text",
                       window: int = 8) -> pa.Table:
     """Rolling-hash (Rabin-Karp over token hashes) document fingerprint:

@@ -656,6 +656,31 @@ class TestPiiScrub:
         assert "Sort" not in stats and "Shuffle" not in stats
 
 
+class TestGopherRepetition:
+    def test_hand_computed_signals(self):
+        import pyarrow as pa
+
+        from spidey_ray.stages.textstats import gopher_repetition_batch
+
+        rows = pa.table({
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": [
+                # 20 tokens = 2 identical 10-token lines: dup_line = 1/2;
+                # "a b" 2-gram appears 10× of 19; 5-grams 16 total,
+                # distinct windows of the 'a b' alternation = 2
+                "a b " * 10,
+                "unique words only here",   # 1 line, no repeats
+                "",                          # empty doc: all zeros
+            ],
+        })
+        out = gopher_repetition_batch(rows)
+        assert out["dup_line_bp"].to_pylist() == [5000, 0, 0]
+        # doc 1: 3 all-distinct 2-grams → top fraction 1/3, not 0
+        assert out["top_2gram_bp"].to_pylist() == [10000 * 10 // 19,
+                                                   10000 * 1 // 3, 0]
+        assert out["dup_5gram_bp"].to_pylist() == [10000 * 14 // 16, 0, 0]
+
+
 class TestLineDedup:
     def _serial(self, rows):
         seen, out = set(), []
