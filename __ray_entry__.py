@@ -818,6 +818,22 @@ def q_embedding_topk(sf_dir: str):
     return out.select(["vec_id", "rank"])
 
 
+def q_filtered_ann(sf_dir: str):
+    """Filtered similarity search: exact cosine top-10 among vectors with
+    label = 2 only (pre-filter pushdown — the predicate runs inside the
+    scan batches, so non-matching vectors are never scored)."""
+    from spidey_ray.stages.similarity import filtered_cosine_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    q0 = emb.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+    qv = np.array(q0["embedding"].iloc[0], dtype=np.float64)
+    out = filtered_cosine_topk(
+        emb, qv, k=10, predicate=lambda t: pc.equal(t["label"], 2))
+    return out.select(["vec_id", "rank"])
+
+
 # ---------------------------------------------------------------------------
 # rows-only operators (non-SQL-expressible; deterministic)
 # ---------------------------------------------------------------------------
@@ -1232,6 +1248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_valid_filter": q_url_valid_filter,
         # embeddings
         "embedding_topk": q_embedding_topk,
+        "filtered_ann": q_filtered_ann,
         # deterministic sampling (SQL-checked)
         "stratified_sample": q_stratified_sample,
         "source_cap": q_source_cap,
@@ -1532,6 +1549,16 @@ def oracle_sql() -> dict[str, str]:
                                 e.vec_id) as rank
             from embeddings e,
                  (select embedding from embeddings where vec_id = 0) q
+            order by rank limit 10
+        """,
+        "filtered_ann": """
+            select e.vec_id,
+                   row_number() over (
+                       order by list_cosine_similarity(e.embedding, q.embedding) desc,
+                                e.vec_id) as rank
+            from embeddings e,
+                 (select embedding from embeddings where vec_id = 0) q
+            where e.label = 2
             order by rank limit 10
         """,
         # exact all-pairs 3-gram Jaccard ≥ 0.5 — the Ray side is LSH-candidate

@@ -69,6 +69,34 @@ def cosine_topk(ds: "ray.data.Dataset", query_vecs: np.ndarray, k: int = 10,
     })
 
 
+def filtered_cosine_topk(ds: "ray.data.Dataset", query_vecs: np.ndarray,
+                         k: int = 10, predicate=None,
+                         emb_col: str = "embedding",
+                         id_col: str = "vec_id") -> pa.Table:
+    """Exact cosine top-k restricted to rows matching ``predicate``
+    (a callable ``pa.Table -> bool Array``) — the *pre-filtering* ANN
+    strategy: the predicate is applied inside each scan batch BEFORE any
+    vector is scored, so only qualifying vectors pay the matmul.
+
+    Scale posture: at 100 TB this is the right default whenever the
+    predicate is available as a column — the filter runs in the read
+    tasks (combine it with ``read_parquet(columns=...)`` pruning and
+    row-group statistics), the scored stream shrinks by the predicate's
+    selectivity, and the global merge stays a tiny per-query top-k.  The
+    alternative (post-filtering an unfiltered ANN with over-fetch) is
+    exposed on ``IvfIndex.search(predicate=...)`` for index-resident
+    corpora where re-scanning is worse than over-probing."""
+    if predicate is None:
+        return cosine_topk(ds, query_vecs, k=k, emb_col=emb_col,
+                           id_col=id_col)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(predicate(batch))
+
+    return cosine_topk(ds.map_batches(keep, batch_format="pyarrow"),
+                       query_vecs, k=k, emb_col=emb_col, id_col=id_col)
+
+
 @ray.remote
 def _block_list_ids(block: pa.Table) -> set:
     if "list_id" not in block.column_names:   # empty shuffle block
@@ -78,12 +106,17 @@ def _block_list_ids(block: pa.Table) -> set:
 
 @ray.remote
 def _probe_block(block: pa.Table, q: np.ndarray, k: int,
-                 wanted: list[int]) -> tuple[np.ndarray, np.ndarray]:
-    """Partial top-k over one bucket block, restricted to the probed lists."""
+                 wanted: list[int],
+                 predicate=None) -> tuple[np.ndarray, np.ndarray]:
+    """Partial top-k over one bucket block, restricted to the probed lists
+    (and, when given, to rows passing ``predicate`` — post-filtering ANN:
+    the filter runs where the block lives, never on the driver)."""
     import pyarrow.compute as pc
 
     t = block.filter(pc.is_in(block["list_id"],
                               value_set=pa.array(wanted, type=pa.int32())))
+    if predicate is not None and len(t):
+        t = t.filter(predicate(t))
     if len(t) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0)
     ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
@@ -233,7 +266,10 @@ class IvfIndex:
         return c
 
     def build(self, ds: "ray.data.Dataset", emb_col: str = "embedding",
-              id_col: str = "vec_id", sample_fraction: float = 0.25) -> "IvfIndex":
+              id_col: str = "vec_id", sample_fraction: float = 0.25,
+              meta_cols: tuple = ()) -> "IvfIndex":
+        """``meta_cols`` are carried verbatim into the clustered blocks so
+        ``search(predicate=...)`` can post-filter without a second scan."""
         sample = ds.random_sample(sample_fraction, seed=self.seed).to_pandas()
         train = _unit(np.array(sample[emb_col].tolist(), dtype=np.float64))
         self.centroids = self._kmeans(train)
@@ -243,12 +279,15 @@ class IvfIndex:
             c = ray.get(c_ref)
             mat = _unit(np.array(batch[emb_col].to_pylist(), dtype=np.float64))
             lst = np.argmax(mat @ c.T, axis=1).astype(np.int32)
-            return pa.table({
+            cols = {
                 "list_id": pa.array(lst),
                 "vec_id": batch[id_col],
                 "unit": pa.array([r.tolist() for r in mat],
                                  type=pa.list_(pa.float64())),
-            })
+            }
+            for m in meta_cols:
+                cols[m] = batch[m]
+            return pa.table(cols)
 
         # cluster by list_id (one shuffle) so each Arrow block holds few
         # lists, keep the blocks in the object store, record which lists
@@ -267,12 +306,19 @@ class IvfIndex:
             [_block_list_ids.remote(b) for b in self._block_refs])
         return self
 
-    def search(self, query_vec: np.ndarray, k: int = 10) -> list[tuple[int, float]]:
+    def search(self, query_vec: np.ndarray, k: int = 10,
+               predicate=None, overfetch: int = 4) -> list[tuple[int, float]]:
+        """Optional ``predicate`` (``pa.Table -> bool Array`` over the
+        block's meta_cols) post-filters inside each probe task; each probe
+        over-fetches ``overfetch * k`` partials so a selective filter
+        doesn't starve the merge (standard post-filtering ANN tradeoff —
+        raise ``n_probe``/``overfetch`` as selectivity drops)."""
         q = _unit(np.atleast_2d(np.asarray(query_vec, dtype=np.float64)))[0]
         order = np.argsort(-(self.centroids @ q))[: self.n_probe]
         wanted = set(int(x) for x in order)
+        probe_k = k if predicate is None else max(k, overfetch * k)
         tasks = [
-            _probe_block.remote(ref, q, k, sorted(wanted))
+            _probe_block.remote(ref, q, probe_k, sorted(wanted), predicate)
             for ref, lists in zip(self._block_refs, self._block_lists)
             if lists & wanted
         ]

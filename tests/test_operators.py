@@ -178,6 +178,43 @@ class TestEmbeddingOps:
         pairs = embedding_dup_pairs(emb_ds, threshold=0.95).to_pandas()
         assert (0, 100) in set(map(tuple, pairs[["doc_a", "doc_b"]].values))
 
+    def test_filtered_cosine_topk_exact(self, emb_ds):
+        from spidey_ray.stages.similarity import filtered_cosine_topk
+
+        df = emb_ds.to_pandas()
+        mat = np.array(df["embedding"].tolist())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        q = mat[0]
+        keep = (df["vec_id"] % 3 == 1).values          # predicate mirror
+        sims = mat @ q
+        order = np.argsort(-sims[keep], kind="stable")
+        expected = df["vec_id"].values[keep][order][:5]
+        out = filtered_cosine_topk(
+            emb_ds, q, k=5,
+            predicate=lambda t: pa.array(
+                t["vec_id"].to_numpy(zero_copy_only=False) % 3 == 1),
+        ).to_pandas()
+        assert list(out.sort_values("rank")["vec_id"]) == list(expected)
+
+    def test_ivf_filtered_search(self, emb_ds):
+        import pyarrow.compute as pc
+
+        from spidey_ray.stages.similarity import IvfIndex, filtered_cosine_topk
+
+        import ray.data
+
+        df = emb_ds.to_pandas()
+        df["label"] = df["vec_id"] % 3
+        labeled = ray.data.from_pandas(df)
+        q = np.asarray(df["embedding"].iloc[3])
+        pred = lambda t: pc.equal(t["label"], 1)  # noqa: E731
+        idx = IvfIndex(n_lists=4, n_probe=4).build(
+            labeled, meta_cols=("label",))        # probe-all = exact
+        ann = [v for v, _ in idx.search(q, k=5, predicate=pred)]
+        exact = list(filtered_cosine_topk(labeled, q, k=5, predicate=pred)
+                     .to_pandas().sort_values("rank")["vec_id"])
+        assert ann == exact
+
     def test_ivf_recall(self, emb_ds):
         from spidey_ray.stages.similarity import IvfIndex, cosine_topk
 
