@@ -603,6 +603,26 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(docs.map_batches(with_lines, batch_format="pyarrow"))
 
 
+def q_duplicate_spans(sf_dir: str):
+    """ExactSubstr span-level dedup (Lee et al. ACL'22): maximal token
+    ranges covered by corpus-duplicated 8-grams, as (doc_id, span_start,
+    span_end) end-exclusive.  Two fat-bucket exchanges: gram fingerprints,
+    then per-doc island merge."""
+    from spidey_ray.stages.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=8)
+
+
+def q_strip_duplicate_spans(sf_dir: str):
+    """Cleanup companion to duplicate_spans: every token covered by a
+    duplicated span cut (both copies), kept tokens space-joined."""
+    from spidey_ray.stages.dedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=8)
+
+
 def q_gopher_repetition(sf_dir: str):
     from spidey_ray.stages.textstats import gopher_repetition_batch
 
@@ -1259,6 +1279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
         "gopher_repetition": q_gopher_repetition,
+        "duplicate_spans": q_duplicate_spans,
+        "strip_duplicate_spans": q_strip_duplicate_spans,
         # --- rows-only checks (position 42+): one per distinct capability ---
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -1687,6 +1709,86 @@ def oracle_sql() -> dict[str, str]:
             join lstat on lstat.doc_id = tok.doc_id
             left join t2 on t2.doc_id = tok.doc_id
             left join t5 on t5.doc_id = tok.doc_id
+        """,
+        # ExactSubstr duplicated spans (k=8): positions whose 8-gram occurs
+        # >= 2 times corpus-wide, merged into maximal extents (hits chain
+        # iff gap <= k).  Grams compare by STRING here (exact); the Ray
+        # side compares 128-bit fingerprints — identical unless a
+        # fingerprint collision occurs (~n²/2¹²⁸).
+        "duplicate_spans": f"""
+            with tok as (select doc_id, {_TOKEN_SQL} as toks from documents),
+            pos_tok as (
+                select doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 7)) as i
+                from tok where len(toks) >= 8),
+            grams as (
+                select doc_id, i - 1 as pos,
+                       array_to_string(toks[i:i+7], ' ') as gram
+                from pos_tok),
+            hits as (
+                select doc_id, pos from grams
+                where gram in (select gram from grams
+                               group by gram having count(*) >= 2)),
+            marks as (
+                select doc_id, pos,
+                       case when pos - lag(pos) over (
+                                partition by doc_id order by pos) <= 8
+                            then 0 else 1 end as brk
+                from hits),
+            isl as (
+                select doc_id, pos,
+                       sum(brk) over (partition by doc_id order by pos
+                                      rows unbounded preceding) as g
+                from marks)
+            select doc_id, min(pos) as span_start, max(pos) + 8 as span_end
+            from isl group by doc_id, g
+        """,
+        # cleanup companion: tokens covered by any duplicated span cut
+        # (both copies), survivors space-joined; docs with no tokens or
+        # fully-cut docs yield ''.
+        "strip_duplicate_spans": f"""
+            with tok as (select doc_id, {_TOKEN_SQL} as toks from documents),
+            pos_tok as (
+                select doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 7)) as i
+                from tok where len(toks) >= 8),
+            grams as (
+                select doc_id, i - 1 as pos,
+                       array_to_string(toks[i:i+7], ' ') as gram
+                from pos_tok),
+            hits as (
+                select doc_id, pos from grams
+                where gram in (select gram from grams
+                               group by gram having count(*) >= 2)),
+            marks as (
+                select doc_id, pos,
+                       case when pos - lag(pos) over (
+                                partition by doc_id order by pos) <= 8
+                            then 0 else 1 end as brk
+                from hits),
+            isl as (
+                select doc_id, pos,
+                       sum(brk) over (partition by doc_id order by pos
+                                      rows unbounded preceding) as g
+                from marks),
+            spans as (
+                select doc_id, min(pos) as s, max(pos) + 8 as e
+                from isl group by doc_id, g),
+            toks_pos as (
+                select doc_id, toks,
+                       unnest(generate_series(1, len(toks))) as i
+                from tok where len(toks) >= 1),
+            kept as (
+                select t.doc_id,
+                       string_agg(t.toks[t.i], ' ' order by t.i) as clean_text
+                from toks_pos t
+                where not exists (
+                    select 1 from spans s
+                    where s.doc_id = t.doc_id
+                      and t.i - 1 >= s.s and t.i - 1 < s.e)
+                group by t.doc_id)
+            select d.doc_id, coalesce(k.clean_text, '') as clean_text
+            from documents d left join kept k on k.doc_id = d.doc_id
         """,
         # marker-word + CJK-ratio language heuristic (textstats.LANG_MARKERS);
         # tie-break = lexicographically LARGEST lang, hence the fr→es→en→de

@@ -125,6 +125,214 @@ def line_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# substring-level exact dedup (ExactSubstr)
+# ---------------------------------------------------------------------------
+#
+# Lee et al., "Deduplicating Training Data Makes Language Models Better"
+# (ACL'22) define span-level exact dedup: any run of >= k consecutive
+# tokens that occurs more than once in the corpus is a duplicated span.
+# Their tool builds a corpus-wide suffix array; that structure is global
+# and does not shard.  The Ray-native equivalence used here: a position
+# is covered by a duplicated span of length >= k  IFF  some k-gram
+# window containing it occurs >= 2 times in the corpus, so the union of
+# duplicated-k-gram extents [pos, pos+k) equals the union of all
+# maximal duplicated spans.  That turns the problem into the same
+# fat-bucket exchange shape as ``line_dedup``.
+
+
+def _gram_fingerprints(toks: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit polynomial rolls over the token-hash stream
+    → a 128-bit fingerprint per k-gram window (positions 0..n-k).  Docs
+    with < k tokens yield no grams (they cannot contain a >=k span)."""
+    n = len(toks) - k + 1
+    if n <= 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e
+    h = np.fromiter((token_hash64_cached(t) for t in toks),
+                    dtype=np.uint64, count=len(toks))
+    with np.errstate(over="ignore"):
+        a1 = h[0:n].copy()
+        a2 = (h[0:n] ^ np.uint64(0xA5A5A5A5A5A5A5A5)).copy()
+        for i in range(1, k):
+            a1 = a1 * np.uint64(0x9E3779B97F4A7C15) + h[i:n + i]
+            a2 = a2 * np.uint64(0xC2B2AE3D27D4EB4F) + h[i:n + i]
+    return _mix64(a1), _mix64(a2)
+
+
+def duplicate_gram_hits(ds: "ray.data.Dataset", k: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_buckets: int = 256) -> "ray.data.Dataset":
+    """(doc_id, pos) of every k-token window whose 128-bit fingerprint
+    occurs >= 2 times corpus-wide (incl. within one doc).  One exchange:
+    grams ride the shuffle as 16-byte fingerprints (not k-token strings);
+    duplicate detection is a vectorized group-size filter per fat bucket.
+    Exact up to 128-bit fingerprint collisions (~n²/2¹²⁸ — negligible at
+    any feasible corpus size; the suffix-array original is what you build
+    when even that is unacceptable)."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids, poss, h1s, h2s = [], [], [], []
+        for did, txt in zip(batch[id_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+            f1, f2 = _gram_fingerprints(tokens_of(txt or ""), k)
+            if len(f1):
+                ids.append(np.full(len(f1), did, dtype=np.int64))
+                poss.append(np.arange(len(f1), dtype=np.int64))
+                h1s.append(f1)
+                h2s.append(f2)
+        if not ids:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "h1": pa.array([], type=pa.uint64()),
+                "h2": pa.array([], type=pa.uint64()),
+                "_bucket": pa.array([], type=pa.int32()),
+            })
+        h1 = np.concatenate(h1s)
+        return pa.table({
+            id_col: pa.array(np.concatenate(ids)),
+            "pos": pa.array(np.concatenate(poss)),
+            "h1": pa.array(h1),
+            "h2": pa.array(np.concatenate(h2s)),
+            "_bucket": pa.array((h1 % np.uint64(num_buckets)).astype(np.int32)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.groupby(["h1", "h2"])[id_col].transform("size") >= 2
+        return g.loc[dup, [id_col, "pos"]]
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def duplicate_spans(ds: "ray.data.Dataset", k: int = 8,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int = 256) -> "ray.data.Dataset":
+    """Maximal duplicated spans per doc as token ranges
+    (doc_id, span_start, span_end), end-exclusive: merged extents of the
+    duplicated k-gram hits.  Hit extents [p, p+k) chain iff the position
+    gap is <= k, so span merge is a vectorized gaps-and-islands pass per
+    doc fat bucket — the second (and last) exchange, keyed on doc hash."""
+    hits = duplicate_gram_hits(ds, k=k, text_col=text_col, id_col=id_col,
+                               num_buckets=num_buckets)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        d = t[id_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_dbucket", pa.array((d % num_buckets).astype(np.int32)))
+
+    def spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        d = g[id_col].to_numpy()
+        p = g["pos"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            brk[1:] = (d[1:] != d[:-1]) | (p[1:] - p[:-1] > k)
+        isl = np.cumsum(brk) - 1
+        out = pd.DataFrame({id_col: d, "pos": p, "_isl": isl})
+        agg = out.groupby("_isl", sort=False).agg(
+            **{id_col: (id_col, "first"),
+               "span_start": ("pos", "min"),
+               "span_end": ("pos", "max")})
+        agg["span_end"] += k
+        return agg.reset_index(drop=True)
+
+    return (
+        hits.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_dbucket")
+        .map_groups(spans, batch_format="pandas")
+    )
+
+
+def _cut_tokens(txt: str, cuts) -> str:
+    toks = tokens_of(txt or "")
+    if cuts:
+        keep = np.ones(len(toks), dtype=bool)
+        for s, e in cuts:
+            keep[s:e] = False
+        toks = [t for t, kf in zip(toks, keep) if kf]
+    return " ".join(toks)
+
+
+def strip_duplicate_spans(ds: "ray.data.Dataset", k: int = 8,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          num_buckets: int = 256,
+                          broadcast_limit: int = 2_000_000,
+                          ) -> "ray.data.Dataset":
+    """ExactSubstr-style cleanup over the normalized token stream: drop
+    every token covered by a duplicated span (both copies — the released
+    deduplicate-text-datasets tool's cut semantics) and return
+    (doc_id, clean_text) with the kept tokens space-joined.
+
+    Adaptive attach (the broadcast-threshold pattern): the span table
+    usually shrinks with corpus quality, so under ``broadcast_limit``
+    rows the per-doc span lists are ``ray.put`` once and looked up per
+    batch with no shuffle; beyond it, a doc-keyed hash-partitioned left
+    join + per-doc-bucket cut — nothing corpus-sized ever reaches the
+    driver on that branch."""
+    import ray as _ray
+
+    spans = duplicate_spans(ds, k=k, text_col=text_col, id_col=id_col,
+                            num_buckets=num_buckets)
+    n_spans = spans.count()
+
+    if n_spans <= broadcast_limit:
+        span_tbl = spans.to_pandas()
+        by_doc: dict = {}
+        for did, s, e in zip(span_tbl[id_col], span_tbl["span_start"],
+                             span_tbl["span_end"]):
+            by_doc.setdefault(int(did), []).append((int(s), int(e)))
+        spans_ref = _ray.put(by_doc)
+
+        def clean(batch: pa.Table) -> pa.Table:
+            lookup = _ray.get(spans_ref)
+            ids, outs = [], []
+            for did, txt in zip(batch[id_col].to_pylist(),
+                                batch[text_col].to_pylist()):
+                ids.append(did)
+                outs.append(_cut_tokens(txt, lookup.get(int(did))))
+            return pa.table({
+                id_col: pa.array(ids, type=pa.int64()),
+                "clean_text": pa.array(outs, type=pa.string()),
+            })
+
+        return ds.map_batches(clean, batch_format="pyarrow")
+
+    # scale branch: spans ⋈ docs co-partitioned on doc hash, then one
+    # per-doc-bucket pass applies all of a doc's cuts
+    from .joins import hash_join
+
+    docs = ds.select_columns([id_col, text_col])
+    joined = hash_join(docs, spans, on=id_col, how="left",
+                       num_buckets=num_buckets)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        d = t[id_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_dbucket", pa.array((d % num_buckets).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids, outs = [], []
+        for did, rows in g.groupby(id_col, sort=False):
+            cuts = [(int(s), int(e)) for s, e in
+                    zip(rows["span_start"], rows["span_end"])
+                    if pd.notna(s)]
+            ids.append(did)
+            outs.append(_cut_tokens(rows[text_col].iloc[0], cuts))
+        return pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
+                             "clean_text": outs})
+
+    return (
+        joined.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_dbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------
 

@@ -763,6 +763,98 @@ class TestLineDedup:
         assert got == self._serial(rows)
 
 
+class TestDuplicateSpans:
+    K = 4
+
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        boiler = "all rights reserved contact us for more information today"
+        docs = [
+            (0, f"alpha beta gamma delta {boiler} unique tail zero"),
+            (1, f"different head words here {boiler} another ending one"),
+            (2, "totally novel content with no repeats at all whatsoever"),
+            (3, "self repeat self repeat self repeat self repeat done"),
+            (4, ""),
+        ]
+        return docs
+
+    def _reference_spans(self, docs, k):
+        from spidey_ray.stages.textstats import tokens_of
+
+        counts = {}
+        toks = {d: tuple(tokens_of(t)) for d, t in docs}
+        for d, tk in toks.items():
+            for i in range(len(tk) - k + 1):
+                counts[tk[i:i + k]] = counts.get(tk[i:i + k], 0) + 1
+        spans = []
+        for d, tk in toks.items():
+            hits = [i for i in range(len(tk) - k + 1)
+                    if counts[tk[i:i + k]] >= 2]
+            start = None
+            prev = None
+            for p in hits:
+                if start is None:
+                    start, prev = p, p
+                elif p - prev <= k:
+                    prev = p
+                else:
+                    spans.append((d, start, prev + k))
+                    start, prev = p, p
+            if start is not None:
+                spans.append((d, start, prev + k))
+        return sorted(spans)
+
+    def test_spans_match_bruteforce(self, ray_session, corpus):
+        import ray.data
+
+        from spidey_ray.stages.dedup import duplicate_spans
+
+        ds = ray.data.from_items(
+            [{"doc_id": d, "text": t} for d, t in corpus])
+        got = duplicate_spans(ds, k=self.K).to_pandas()
+        got_set = sorted(map(tuple, got[["doc_id", "span_start",
+                                         "span_end"]].values))
+        assert got_set == self._reference_spans(corpus, self.K)
+
+    def test_strip_removes_only_span_tokens(self, ray_session, corpus):
+        import ray.data
+
+        from spidey_ray.stages.dedup import strip_duplicate_spans
+        from spidey_ray.stages.textstats import tokens_of
+
+        ds = ray.data.from_items(
+            [{"doc_id": d, "text": t} for d, t in corpus])
+        out = (strip_duplicate_spans(ds, k=self.K).to_pandas()
+               .set_index("doc_id")["clean_text"])
+        spans = {}
+        for d, s, e in self._reference_spans(corpus, self.K):
+            spans.setdefault(d, []).append((s, e))
+        for d, t in corpus:
+            toks = tokens_of(t)
+            cut = set()
+            for s, e in spans.get(d, []):
+                cut.update(range(s, e))
+            expected = " ".join(
+                tok for i, tok in enumerate(toks) if i not in cut)
+            assert out[d] == expected
+        # doc 2 (novel) untouched; doc 3 (self-repeat) fully cut or reduced
+        assert out[2] == " ".join(tokens_of(corpus[2][1]))
+        assert len(out[3]) < len(corpus[3][1])
+
+    def test_strip_join_branch_equals_broadcast(self, ray_session, corpus):
+        import ray.data
+
+        from spidey_ray.stages.dedup import strip_duplicate_spans
+
+        ds = ray.data.from_items(
+            [{"doc_id": d, "text": t} for d, t in corpus])
+        bc = (strip_duplicate_spans(ds, k=self.K).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        jn = (strip_duplicate_spans(ds, k=self.K, broadcast_limit=0)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(bc, jn)
+
+
 class TestTDigest:
     def test_rank_accuracy_heavy_tail(self):
         from spidey_ray.stages.sketches import TDigest
