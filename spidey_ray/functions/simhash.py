@@ -41,57 +41,44 @@ def token_hash64_cached(token: str) -> int:
     return h
 
 
-# token → row INDEX into one contiguous ±1 sign matrix (int8[·,64],
-# MSB-first); vocabulary is Zipfian so the cache hit rate is high across
-# pages within a worker process.  A single growable matrix + fancy-index
-# gather replaces the old per-call ``np.stack`` of many tiny cached arrays
-# — that stack was the dominant allocation in the crawl parse hot path and
-# a memory-bandwidth consumer at high worker counts (BASELINE.md 8→32 note).
-_SIGN_INDEX: dict[str, int] = {}
-_SIGN_MATRIX: np.ndarray = np.empty((1024, 64), dtype=np.int8)
-_SIGN_CACHE_MAX = 1 << 20
-
-
-def _maybe_reset_sign_cache() -> None:
-    """Evict the cache ONLY between documents.  A reset inside the
-    ``simhash64`` gather loop would swap ``_SIGN_MATRIX`` out from under
-    indices already collected against the old matrix (growth is safe — it
-    copies existing rows — eviction is not)."""
-    global _SIGN_MATRIX
-    if len(_SIGN_INDEX) >= _SIGN_CACHE_MAX:
-        _SIGN_INDEX.clear()
-        _SIGN_MATRIX = np.empty((1024, 64), dtype=np.int8)
-
-
-def _sign_index(token: str) -> int:
-    idx = _SIGN_INDEX.get(token)
-    if idx is None:
-        global _SIGN_MATRIX
-        idx = len(_SIGN_INDEX)
-        if idx >= len(_SIGN_MATRIX):
-            grown = np.empty((len(_SIGN_MATRIX) * 2, 64), dtype=np.int8)
-            grown[:len(_SIGN_MATRIX)] = _SIGN_MATRIX
-            _SIGN_MATRIX = grown
-        h = hashlib.sha1(token.encode("utf-8")).digest()[:8]
-        bits = np.unpackbits(np.frombuffer(h, dtype=np.uint8))  # MSB-first
-        _SIGN_MATRIX[idx] = bits.astype(np.int8) * 2 - 1        # bit→+1, 0→-1
-        _SIGN_INDEX[token] = idx
-    return idx
+# The ±1 sign row of a token IS the bit pattern of its 64-bit hash
+# (bit→+1, 0→−1, MSB-first), so the old token→sign-matrix cache was a
+# second copy of ``_TOKEN_H64`` in disguise.  simhash64 now gathers the
+# cached uint64 hashes with a C-level ``map`` (no per-token Python frame
+# — the 1M+ ``_sign_index`` calls per bench round were ~20% of the crawl
+# parse stage) and unpacks bits with one vectorized shift.  Eviction
+# mid-gather is harmless by construction here: hash VALUES are immutable
+# copies, unlike the old matrix row indices.
+_BIT_SHIFTS = np.arange(63, -1, -1, dtype=np.uint64)   # MSB-first
 
 
 def simhash64(freq: dict[str, int]) -> int:
     """64-bit simhash of a token-frequency dict; bit j is the MSB-first
     position, matching the reference's ``format(hash(i), '0>64b')`` layout.
-    vector_j = Σ count·(+1 if bit_j else -1); one matmul over gathered rows."""
+    vector_j = Σ count·(+1 if bit_j else -1), computed as one int8 matmul
+    over the unpacked hash bits: counts@bits*2 − Σcounts."""
     if not freq:
         return 0
-    _maybe_reset_sign_cache()
-    idx = np.fromiter((_sign_index(t) for t in freq), dtype=np.int64,
-                      count=len(freq))
-    counts = np.fromiter(freq.values(), dtype=np.int64, count=len(freq))
-    vector = counts @ _SIGN_MATRIX[idx]
-    bits = (vector >= 1).astype(np.uint8)
-    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+    keys = list(freq.keys())
+    n = len(keys)
+    try:
+        h = np.fromiter(map(_TOKEN_H64.__getitem__, keys),
+                        dtype=np.uint64, count=n)
+    except KeyError:
+        # first sighting of some tokens on this worker: fill the shared
+        # hash cache (Zipfian vocab → this path vanishes after warmup)
+        if len(_TOKEN_H64) + n >= _TOKEN_H64_MAX:
+            _TOKEN_H64.clear()
+        for t in keys:
+            if t not in _TOKEN_H64:
+                _TOKEN_H64[t] = token_hash64(t)
+        h = np.fromiter(map(_TOKEN_H64.__getitem__, keys),
+                        dtype=np.uint64, count=n)
+    bits = ((h[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int8)
+    counts = np.fromiter(freq.values(), dtype=np.int64, count=n)
+    vector = 2 * (counts @ bits) - counts.sum()
+    out = (vector >= 1).astype(np.uint8)
+    return int.from_bytes(np.packbits(out).tobytes(), "big")
 
 
 def simhash_from_tokens(tokens: list[str]) -> tuple[int, int]:

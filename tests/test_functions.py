@@ -145,27 +145,40 @@ class TestSimhash:
         assert sh.footprints_similar(h, 100, h, 100, 0.99, 0.99)
 
     def test_cache_eviction_never_corrupts_a_document(self, monkeypatch):
-        """Eviction must happen BETWEEN documents, never mid-gather: with a
-        tiny cache cap, hashes straddling many evictions must equal the
-        fresh-cache hashes (pre-fix: a reset inside simhash64's fromiter
-        loop left stale indices into a replaced matrix → garbage bits or
-        IndexError)."""
+        """Hash-cache eviction must never change a footprint: with a tiny
+        cache cap (forcing an eviction inside every simhash64 call's miss
+        path) the hashes must equal the fresh-cache hashes — hash VALUES
+        are immutable so evicting mid-stream is safe by construction,
+        unlike the retired sign-matrix row-index cache this replaced."""
         docs = [{f"tok{d}_{i}": i + 1 for i in range(7)} for d in range(40)]
 
         def fresh_hashes():
-            sh._SIGN_INDEX.clear()
-            sh._SIGN_MATRIX = np.empty((1024, 64), dtype=np.int8)
+            sh._TOKEN_H64.clear()
             return [sh.simhash64(d) for d in docs]
 
         expected = fresh_hashes()
-        monkeypatch.setattr(sh, "_SIGN_CACHE_MAX", 5)  # < one doc's vocab
+        monkeypatch.setattr(sh, "_TOKEN_H64_MAX", 5)   # < one doc's vocab
         assert fresh_hashes() == expected
-        monkeypatch.setattr(sh, "_SIGN_CACHE_MAX", 16)
+        monkeypatch.setattr(sh, "_TOKEN_H64_MAX", 16)
         assert fresh_hashes() == expected
-        # restore a sane cache for the rest of the session
         monkeypatch.undo()
-        sh._SIGN_INDEX.clear()
-        sh._SIGN_MATRIX = np.empty((1024, 64), dtype=np.int8)
+        sh._TOKEN_H64.clear()
+
+    def test_simhash_matches_bit_reference(self):
+        """simhash64 ≡ the definitional per-bit loop (sign rows = MSB-first
+        bits of sha1-derived token_hash64)."""
+        freq = {"alpha": 3, "beta": 1, "gamma": 2, "": 1, "Ω": 4}
+        vec = [0] * 64
+        for tok, c in freq.items():
+            h = sh.token_hash64(tok)
+            for j in range(64):
+                bit = (h >> (63 - j)) & 1
+                vec[j] += c if bit else -c
+        expected = 0
+        for j in range(64):
+            if vec[j] >= 1:
+                expected |= 1 << (63 - j)
+        assert sh.simhash64(freq) == expected
 
 
 class TestRobots:
