@@ -75,12 +75,15 @@ def _rng(cfg: WebConfig, *key) -> random.Random:
 _WORDS_ARR = None
 
 
-def _para(cfg: WebConfig, key: str, n_tokens: int) -> str:
-    """Deterministic filler paragraph.  Vectorized draw (one PCG64 seeded
-    from the stable key, one integers() call, one join) — the old
-    per-token ``random.choice`` was ~60% of the synthetic fetch cost,
-    which runs inside the bench fetch workers and was masking engine
-    parse time in the headline measurement."""
+def _paras_batch(cfg: WebConfig, keys: list[str],
+                 sizes: list[int]) -> list[str]:
+    """All of a page's deterministic filler paragraphs in ONE vectorized
+    draw.  Each key seeds an independent stateless splitmix64 stream
+    (token j of key k is mix(crc32(k) + (j+1)·φ)), so the output is
+    byte-identical to drawing each paragraph separately — but the ~50
+    per-paragraph numpy dispatch rounds per page collapse into one 2-D
+    op (the fixed per-call overhead was ~25% of the bench fetch worker
+    after the simhash fix)."""
     global _WORDS_ARR
     if _WORDS_ARR is None:
         import numpy as _np
@@ -90,19 +93,26 @@ def _para(cfg: WebConfig, key: str, n_tokens: int) -> str:
 
     import numpy as _np
 
-    seed = _np.uint64(_zlib.crc32(f"{cfg.seed}:para:{key}".encode()))
-    # stateless splitmix64 stream: constructing a PCG64 Generator per
-    # paragraph cost 62 µs each and was ~half the whole synthetic fetch
+    seeds = _np.fromiter(
+        (_zlib.crc32(f"{cfg.seed}:para:{k}".encode()) for k in keys),
+        dtype=_np.uint64, count=len(keys))
+    width = max(sizes)
+    j = _np.arange(1, width + 1, dtype=_np.uint64)
     with _np.errstate(over="ignore"):
-        x = (seed + _np.arange(1, n_tokens + 1, dtype=_np.uint64)
-             * _np.uint64(0x9E3779B97F4A7C15))
+        x = seeds[:, None] + j[None, :] * _np.uint64(0x9E3779B97F4A7C15)
         x ^= x >> _np.uint64(30)
         x *= _np.uint64(0xBF58476D1CE4E5B9)
         x ^= x >> _np.uint64(27)
         x *= _np.uint64(0x94D049BB133111EB)
         x ^= x >> _np.uint64(31)
     idx = (x % _np.uint64(len(_WORDS))).astype(_np.int64)
-    return " ".join(_WORDS_ARR[idx].tolist())
+    words = _WORDS_ARR[idx]
+    return [" ".join(words[i, :n].tolist()) for i, n in enumerate(sizes)]
+
+
+def _para(cfg: WebConfig, key: str, n_tokens: int) -> str:
+    """Single-paragraph wrapper over :func:`_paras_batch` (same stream)."""
+    return _paras_batch(cfg, [key], [n_tokens])[0]
 
 
 def _host_index(cfg: WebConfig, netloc: str) -> int | None:
@@ -117,19 +127,28 @@ def _host_index(cfg: WebConfig, netloc: str) -> int | None:
 
 def _page_html(cfg: WebConfig, host_i: int, title: str, body_key: str,
                n_tokens: int, links: list[str], media: list[str] = ()) -> str:
-    paras = []
+    # one vectorized draw for every text fragment of the page
+    keys, sizes = [], []
     remaining = n_tokens
     pi = 0
     while remaining > 0:
         take = min(remaining, 40)
-        paras.append(f"<p>{_para(cfg, f'{body_key}:{pi}', take)}</p>")
+        keys.append(f"{body_key}:{pi}")
+        sizes.append(take)
         remaining -= take
         pi += 1
-    heading = f"<h1>{_para(cfg, body_key + ':h', 4)}</h1>"
-    bold = f"<b>{_para(cfg, body_key + ':b', 3)}</b>"
+    n_paras = pi
+    keys.append(body_key + ":h"); sizes.append(4)
+    keys.append(body_key + ":b"); sizes.append(3)
+    for k in range(len(links)):
+        keys.append(f"{body_key}:a{k}"); sizes.append(2)
+    texts = _paras_batch(cfg, keys, sizes)
+    paras = [f"<p>{t}</p>" for t in texts[:n_paras]]
+    heading = f"<h1>{texts[n_paras]}</h1>"
+    bold = f"<b>{texts[n_paras + 1]}</b>"
     link_html = "".join(
-        f'<a href="{href}">{_para(cfg, f"{body_key}:a{k}", 2)}</a> '
-        for k, href in enumerate(links)
+        f'<a href="{href}">{anchor}</a> '
+        for href, anchor in zip(links, texts[n_paras + 2:])
     )
     media_html = "".join(f'<img src="{src}" alt="m{k}">' for k, src in enumerate(media))
     return (
