@@ -38,7 +38,8 @@ from dataclasses import dataclass
 from html.parser import HTMLParser as _StdHTMLParser
 from urllib.parse import urlparse
 
-from .tokenize import tokenize
+from .tokenize import (_EXPANSION_SPLIT, INDEX_TOKEN_PATTERN,
+                       expand_contractions, tokenize)
 from .urltools import absolute_url
 
 EXCLUDED_PARENTS = frozenset({"style", "script", "head", "title", "meta", "[document]"})
@@ -460,7 +461,6 @@ def tokenized_len(text: str) -> int:
     hot path); the rare apostrophe tokens are then corrected through the
     same contraction expansion the tokenizer applies, so totals stay
     identical."""
-    from .tokenize import _EXPANSION_SPLIT, INDEX_TOKEN_PATTERN, expand_contractions
 
     text = text.lower()
     toks = INDEX_TOKEN_PATTERN.findall(text)
