@@ -603,6 +603,61 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(docs.map_batches(with_lines, batch_format="pyarrow"))
 
 
+def q_c4_line_filter(sf_dir: str):
+    """C4 §2.2 line/doc cleaning over deterministically decorated lines:
+    the flat token corpus carries no punctuation, so both sides build the
+    same 10-token lines and plant the rule triggers by (doc_id, line_idx)
+    arithmetic — no terminal dot on (d+li)%4==0 lines, a 2-word truncation
+    on %5==0 lines, a 'javascript ' prefix on %7==0 lines, and a
+    lorem-ipsum / '{' line on %13 / %17 docs."""
+    from spidey_ray.stages.textstats import c4_line_filter_batch, tokens_of
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def decorate(t: pa.Table) -> pa.Table:
+        out = []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = tokens_of(txt)
+            lines = []
+            for li in range(max(1, (len(toks) + 9) // 10)):
+                base = toks[li * 10:li * 10 + 10]
+                if (d + li) % 5 == 0:
+                    base = base[:2]
+                s = " ".join(base)
+                if (d + li) % 7 == 0:
+                    s = "javascript " + s
+                if (d + li) % 4 != 0:
+                    s = s + "."
+                lines.append(s)
+            if d % 13 == 0:
+                lines.append("lorem ipsum.")
+            if d % 17 == 0:
+                lines.append("a { b.")
+            out.append("\n".join(lines))
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(out, type=pa.string())})
+
+    return docs.map_batches(decorate, batch_format="pyarrow").map_batches(
+        c4_line_filter_batch, batch_format="pyarrow")
+
+
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-shape LM quality scoring: stupid-backoff trigram model
+    trained (distributed count aggregation) on the doc_id%10==0 reference
+    slice, broadcast once, whole corpus scored.  Integer-exact output:
+    (doc_id, n_scored, sum_log10p_micro)."""
+    from spidey_ray.stages.lm import lm_perplexity
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def train_only(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(d % 10 == 0))
+
+    train = docs.map_batches(train_only, batch_format="pyarrow")
+    return lm_perplexity(docs, train)
+
+
 def q_duplicate_spans(sf_dir: str):
     """ExactSubstr span-level dedup (Lee et al. ACL'22): maximal token
     ranges covered by corpus-duplicated 8-grams, as (doc_id, span_start,
@@ -1281,6 +1336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": q_gopher_repetition,
         "duplicate_spans": q_duplicate_spans,
         "strip_duplicate_spans": q_strip_duplicate_spans,
+        "c4_line_filter": q_c4_line_filter,
+        "lm_perplexity": q_lm_perplexity,
         # --- rows-only checks (position 42+): one per distinct capability ---
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -1789,6 +1846,96 @@ def oracle_sql() -> dict[str, str]:
                 group by t.doc_id)
             select d.doc_id, coalesce(k.clean_text, '') as clean_text
             from documents d left join kept k on k.doc_id = d.doc_id
+        """,
+        # C4 §2.2 line rules over the same decorated lines q_c4_line_filter
+        # builds; the lorem-ipsum/'{' docs are dropped by construction on
+        # both sides, so the oracle expresses that doc rule as the %13/%17
+        # predicate directly.
+        "c4_line_filter": rf"""
+            with tok as (select doc_id, {_TOKEN_SQL} as toks from documents),
+            lines0 as (
+                select doc_id, i as li,
+                       array_to_string(toks[10*i+1 : 10*i+10], ' ')
+                           as full_line,
+                       array_to_string(toks[10*i+1 : 10*i+2], ' ')
+                           as short_line
+                from tok, unnest(generate_series(0,
+                     greatest(1, cast(ceil(len(toks)/10.0) as int)) - 1))
+                     as t(i)),
+            built as (
+                select doc_id, li,
+                    (case when (doc_id + li) % 7 = 0
+                          then 'javascript ' else '' end) ||
+                    (case when (doc_id + li) % 5 = 0
+                          then short_line else full_line end) ||
+                    (case when (doc_id + li) % 4 <> 0
+                          then '.' else '' end) as line
+                from lines0),
+            kept as (
+                select doc_id, li, line from built
+                where doc_id % 13 <> 0 and doc_id % 17 <> 0
+                  and (line like '%.' or line like '%!' or line like '%?'
+                       or line like '%"')
+                  and len(regexp_extract_all(line, '\S+')) >= 3
+                  and not regexp_matches(lower(line), '\bjavascript\b'))
+            select doc_id,
+                   string_agg(line, chr(10) order by li) as clean_text,
+                   count(*) as n_lines
+            from kept group by doc_id having count(*) >= 3
+        """,
+        # stupid-backoff trigram LM (train slice doc_id%10==0) scoring the
+        # whole corpus; per-position p-cascade mirrored exactly (identical
+        # literals, parenthesization and int→double divisions), compared
+        # on order-independent integer micro-log10 sums.
+        "lm_perplexity": f"""
+            with tok as (select doc_id, {_TOKEN_SQL} as toks from documents),
+            train as (select toks from tok where doc_id % 10 = 0),
+            uni_c as (
+                select w, count(*) as n
+                from (select unnest(toks) as w from train) group by w),
+            tt as (select cast(sum(n) as double) as T from uni_c),
+            big_c as (
+                select a, w, count(*) as n from (
+                    select toks[i] as a, toks[i+1] as w
+                    from (select toks,
+                                 unnest(generate_series(1, len(toks)-1)) as i
+                          from train where len(toks) >= 2))
+                group by a, w),
+            tri_c as (
+                select a, b, w, count(*) as n from (
+                    select toks[i] as a, toks[i+1] as b, toks[i+2] as w
+                    from (select toks,
+                                 unnest(generate_series(1, len(toks)-2)) as i
+                          from train where len(toks) >= 3))
+                group by a, b, w),
+            pos as (
+                select doc_id, toks[i] as a, toks[i+1] as b, toks[i+2] as w
+                from (select doc_id, toks,
+                             unnest(generate_series(1, len(toks)-2)) as i
+                      from tok where len(toks) >= 3)),
+            sc as (
+                select pos.doc_id,
+                    case
+                      when t3.n is not null and bctx.n is not null
+                          then t3.n / cast(bctx.n as double)
+                      when b2.n is not null and u_b.n is not null
+                          then 0.4 * (b2.n / cast(u_b.n as double))
+                      when u_w.n is not null
+                          then 0.16 * (u_w.n / T)
+                      else 0.16 * (1.0 / T)
+                    end as p
+                from pos
+                left join tri_c t3 on t3.a = pos.a and t3.b = pos.b
+                                   and t3.w = pos.w
+                left join big_c bctx on bctx.a = pos.a and bctx.w = pos.b
+                left join big_c b2 on b2.a = pos.b and b2.w = pos.w
+                left join uni_c u_b on u_b.w = pos.b
+                left join uni_c u_w on u_w.w = pos.w
+                cross join tt)
+            select doc_id, count(*) as n_scored,
+                   cast(sum(cast(floor(log10(p)*1000000 + 0.5) as bigint))
+                        as bigint) as sum_log10p_micro
+            from sc group by doc_id
         """,
         # marker-word + CJK-ratio language heuristic (textstats.LANG_MARKERS);
         # tie-break = lexicographically LARGEST lang, hence the fr→es→en→de

@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -111,6 +112,74 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "stop_ratio": pa.array(stop_ratio, type=pa.float64()),
         "mean_word_len": pa.array(mean_wlen, type=pa.float64()),
         "quality": pa.array(score, type=pa.float64()),
+    })
+
+
+_JS_LINE_RE = re.compile(r"\bjavascript\b")
+_WORD_RE = re.compile(r"\S+")
+_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_line_filter_batch(batch: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_words: int = 3,
+                         min_lines: int = 3) -> pa.Table:
+    """C4 cleaning heuristics (Raffel et al., "Exploring the Limits of
+    Transfer Learning with a Unified Text-to-Text Transformer", JMLR'20
+    §2.2), line rules vectorized over the exploded line table:
+
+    - doc dropped outright if it contains ``lorem ipsum`` (case-folded)
+      or a ``{``;
+    - a line survives iff it ends in a terminal punctuation mark
+      (``. ! ? "``), has >= ``min_words`` whitespace words, and does not
+      contain the word ``javascript``;
+    - the doc survives iff >= ``min_lines`` lines remain (C4 uses five
+      sentences; this operator's knob defaults to 3 lines — documented
+      deviation, sentences ≈ lines here).
+
+    Pure map stage — no shuffle: explode, mask, re-aggregate inside the
+    batch.  Output rows (surviving docs only): (doc_id, clean_text,
+    n_lines)."""
+    txt = batch[text_col].combine_chunks()
+    low = pc.utf8_lower(txt)
+    doc_bad = pc.or_(
+        pc.match_substring(low, "lorem ipsum"),
+        pc.match_substring(txt, "{"),
+    ).to_numpy(zero_copy_only=False)
+
+    parts = pc.split_pattern(txt, pattern="\n")
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+
+    ends_ok = np.zeros(len(flat), dtype=bool)
+    for t in _TERMINALS:
+        ends_ok |= pc.ends_with(flat, pattern=t).to_numpy(
+            zero_copy_only=False)
+    n_words = pc.count_substring_regex(
+        flat, pattern=_WORD_RE.pattern).to_numpy(zero_copy_only=False)
+    has_js = pc.match_substring_regex(
+        pc.utf8_lower(flat), pattern=_JS_LINE_RE.pattern).to_numpy(
+        zero_copy_only=False)
+    keep = ends_ok & (n_words >= min_words) & ~has_js & ~doc_bad[parent]
+
+    kept_parent = parent[keep]
+    per_doc = np.bincount(kept_parent, minlength=len(batch))
+    doc_keep = (per_doc >= min_lines) & ~doc_bad
+    if not doc_keep.any():
+        return pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "clean_text": pa.array([], type=pa.string()),
+            "n_lines": pa.array([], type=pa.int64()),
+        })
+    kept_lines = pd.Series(flat.filter(pa.array(keep)).to_pylist())
+    joined = kept_lines.groupby(kept_parent).agg("\n".join)
+    doc_idx = np.flatnonzero(doc_keep)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        "clean_text": pa.array(joined.reindex(doc_idx).values,
+                               type=pa.string()),
+        "n_lines": pa.array(per_doc[doc_idx], type=pa.int64()),
     })
 
 

@@ -763,6 +763,116 @@ class TestLineDedup:
         assert got == self._serial(rows)
 
 
+class TestC4LineFilter:
+    def test_rules(self, ray_session):
+        import pyarrow as _pa
+
+        from spidey_ray.stages.textstats import c4_line_filter_batch
+
+        docs = [
+            # survives: 3 good lines (one bad line dropped)
+            (0, "good line one here.\nshort.\nanother fine line two!\n"
+                'quoted line stays alive"\nno terminal punct line'),
+            # dropped: lorem ipsum
+            (1, "good line one here.\ngood line two here.\n"
+                "good line three here.\nhas lorem ipsum inside."),
+            # dropped: brace
+            (2, "good line one here.\ngood line two here.\n"
+                "good { line three."),
+            # dropped: only 2 surviving lines
+            (3, "good line one here.\ngood line two here.\nbad line"),
+            # javascript line removed, doc survives with exactly 3
+            (4, "enable javascript to view.\nreal line one here.\n"
+                "real line two here.\nreal line three here."),
+        ]
+        out = c4_line_filter_batch(_pa.table({
+            "doc_id": _pa.array([d for d, _ in docs], type=_pa.int64()),
+            "text": _pa.array([t for _, t in docs]),
+        })).to_pandas().set_index("doc_id")
+        assert sorted(out.index) == [0, 4]
+        assert out.loc[0, "n_lines"] == 3
+        assert out.loc[0, "clean_text"] == (
+            "good line one here.\nanother fine line two!\n"
+            'quoted line stays alive"')
+        assert out.loc[4, "n_lines"] == 3
+        assert "javascript" not in out.loc[4, "clean_text"]
+
+
+class TestLmPerplexity:
+    def test_matches_scalar_reference(self, ray_session):
+        import math
+
+        import ray.data
+
+        from spidey_ray.stages.lm import lm_perplexity
+        from spidey_ray.stages.textstats import tokens_of
+
+        docs = [
+            (0, "the cat sat on the mat and the cat ran"),
+            (1, "the dog sat on the mat and the dog ran"),
+            (2, "a completely different sentence with novel words here"),
+            (3, "the cat sat on the mat"),   # high-prob under the model
+            (4, "xx"),                        # < 3 tokens: excluded
+        ]
+        train = [d for d in docs if d[0] % 2 == 0]
+
+        # independent scalar stupid-backoff reference
+        from collections import Counter
+        c1, c2, c3 = Counter(), Counter(), Counter()
+        for _, t in train:
+            tk = tokens_of(t)
+            c1.update(tk)
+            c2.update(" ".join(p) for p in zip(tk, tk[1:]))
+            c3.update(" ".join(p) for p in zip(tk, tk[1:], tk[2:]))
+        T = float(sum(c1.values()))
+
+        def ref(toks):
+            tot, m = 0, 0
+            for i in range(len(toks) - 2):
+                a, b, w = toks[i], toks[i + 1], toks[i + 2]
+                if c3.get(f"{a} {b} {w}", 0) and c2.get(f"{a} {b}", 0):
+                    p = c3[f"{a} {b} {w}"] / c2[f"{a} {b}"]
+                elif c2.get(f"{b} {w}", 0) and c1.get(b, 0):
+                    p = 0.4 * (c2[f"{b} {w}"] / c1[b])
+                elif c1.get(w, 0):
+                    p = 0.16 * (c1[w] / T)
+                else:
+                    p = 0.16 * (1.0 / T)
+                tot += math.floor(math.log10(p) * 1e6 + 0.5)
+                m += 1
+            return m, tot
+
+        out = lm_perplexity(
+            ray.data.from_items(
+                [{"doc_id": d, "text": t} for d, t in docs]),
+            ray.data.from_items(
+                [{"doc_id": d, "text": t} for d, t in train]),
+        ).to_pandas().set_index("doc_id").sort_index()
+        assert list(out.index) == [0, 1, 2, 3]
+        for d, t in docs[:4]:
+            m, tot = ref(tokens_of(t))
+            assert out.loc[d, "n_scored"] == m
+            assert out.loc[d, "sum_log10p_micro"] == tot
+        # sanity: the in-model doc scores better (less negative per
+        # token) than the doc with OOV words ("dog" unseen in train)
+        per_tok = out["sum_log10p_micro"] / out["n_scored"]
+        assert per_tok[3] > per_tok[1]
+
+    def test_min_count_prunes(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.lm import (build_backoff_model,
+                                          ngram_count_rows)
+
+        ds = ray.data.from_items(
+            [{"text": "a b c a b c x y z"}, {"text": "a b c"}])
+        full = build_backoff_model(ngram_count_rows(ds))
+        pruned = build_backoff_model(ngram_count_rows(ds), min_count=2)
+        assert "x y" in full["big"] and "x y" not in pruned["big"]
+        assert "a b" in pruned["big"]          # count 3 survives
+        assert pruned["uni"] == full["uni"]    # unigrams kept (OOV floor)
+
+
 class TestDuplicateSpans:
     K = 4
 
