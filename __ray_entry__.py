@@ -713,6 +713,63 @@ def q_source_cap(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_domain_mix(sf_dir: str):
+    """Rebalance documents to a target language mix (the Pile/FineWeb
+    "x% from source A" recipe step): per-group counts pick the binding
+    group, then a content-deterministic md5-rank downsample hits the
+    target proportions without upsampling."""
+    from spidey_ray.stages.sampling import mix_to_proportions
+
+    out = mix_to_proportions(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        "lang", "doc_id",
+        shares={"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15},
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. NeurIPS'23): hashed uni+bigram
+    (md5[:3] → 4096 buckets) bag models for the doc_id%7==0 target slice
+    vs the whole pool; per-doc integer micro-log10 importance ratio."""
+    from spidey_ray.stages.dsir import dsir_weights
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def target_only(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(d % 7 == 0))
+
+    return dsir_weights(
+        docs, docs.map_batches(target_only, batch_format="pyarrow"))
+
+
+def q_strip_repeated_lines(sf_dir: str):
+    """In-document repeated-line removal over deterministically decorated
+    lines: both sides build 10-token lines and plant a copy of the
+    previous line wherever (doc_id+li)%3==0 (li>0)."""
+    from spidey_ray.stages.textstats import (strip_repeated_lines_batch,
+                                             tokens_of)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def decorate(t: pa.Table) -> pa.Table:
+        out = []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = tokens_of(txt)
+            base = [" ".join(toks[li * 10:li * 10 + 10])
+                    for li in range(max(1, (len(toks) + 9) // 10))]
+            lines = [base[li - 1] if li > 0 and (d + li) % 3 == 0
+                     else base[li] for li in range(len(base))]
+            out.append("\n".join(lines))
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(out, type=pa.string())})
+
+    return docs.map_batches(decorate, batch_format="pyarrow").map_batches(
+        strip_repeated_lines_batch, batch_format="pyarrow")
+
+
 def q_events_tumbling(sf_dir: str):
     """2-hour tumbling windows per event_type (combiner shape: per-block
     window partials, then a small groupby)."""
@@ -1338,7 +1395,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_duplicate_spans": q_strip_duplicate_spans,
         "c4_line_filter": q_c4_line_filter,
         "lm_perplexity": q_lm_perplexity,
-        # --- rows-only checks (position 42+): one per distinct capability ---
+        "domain_mix": q_domain_mix,
+        "dsir_weights": q_dsir_weights,
+        "strip_repeated_lines": q_strip_repeated_lines,
+        # --- rows-only checks: one per distinct capability.  Only the
+        # first 50 entries overall get a driver verdict; every SQL-oracle
+        # entry sits above this line, rows-only entries below are
+        # covered by pytest + tools/check_entry.py ---
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1936,6 +1999,104 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(floor(log10(p)*1000000 + 0.5) as bigint))
                         as bigint) as sum_log10p_micro
             from sc group by doc_id
+        """,
+        # data-mix rebalance: the rate derivation mirrors
+        # sampling.mix_to_proportions literally (same op order → same IEEE
+        # doubles → same md5-rank threshold hex), thresholds per
+        # sampling._thresh_hex (floor(rate·2³²) as 8 lowercase hex chars).
+        "domain_mix": """
+            with shares as (
+                select * from (values
+                    ('en', cast(0.4 as double)),
+                    ('zh', cast(0.15 as double)),
+                    ('es', cast(0.15 as double)),
+                    ('de', cast(0.15 as double)),
+                    ('fr', cast(0.15 as double))) s(key, share)),
+            cnt as (select lang as key, count(*) as n
+                    from documents group by lang),
+            j as (select s.key, s.share, c.n
+                  from shares s join cnt c using (key)
+                  where c.n > 0 and s.share > 0),
+            nout as (select min(cast(n as double) / share) as n_out from j),
+            thr as (select key,
+                           share * (select n_out from nout)
+                               / cast(n as double) as rate
+                    from j)
+            select d.doc_id, d.lang
+            from documents d join thr on thr.key = d.lang
+            where substr(md5(cast(d.doc_id as varchar)), 1, 8) <
+                  case when rate >= 1.0 then 'g'
+                       else lower(lpad(to_hex(cast(
+                            floor(rate * 4294967296.0) as bigint)), 8, '0'))
+                       end
+        """,
+        # DSIR hashed-ngram importance weights: buckets are md5(gram)[:3]
+        # hex strings (4096), per-bucket micro-log10 ratio mirrors
+        # dsir.bucket_log_ratio_micro's cascade (identical literals,
+        # 0.5·4096 = 2048.0 exact), per-doc sums are int64.
+        "dsir_weights": f"""
+            with tok as (select doc_id, {_TOKEN_SQL} as toks from documents),
+            grams as (
+                select doc_id, substr(md5(g), 1, 3) as b from (
+                    select doc_id, toks[i] as g
+                    from (select doc_id, toks,
+                                 unnest(generate_series(1, len(toks))) as i
+                          from tok where len(toks) >= 1)
+                    union all
+                    select doc_id, toks[i] || ' ' || toks[i+1] as g
+                    from (select doc_id, toks,
+                                 unnest(generate_series(1, len(toks)-1)) as i
+                          from tok where len(toks) >= 2))),
+            rcnt as (select b, count(*) as n from grams group by b),
+            tcnt as (select b, count(*) as n from grams
+                     where doc_id % 7 = 0 group by b),
+            tots as (select
+                (select cast(sum(n) as double) from tcnt) + 2048.0 as dt,
+                (select cast(sum(n) as double) from rcnt) + 2048.0 as dr),
+            micro as (
+                select r.b,
+                       cast(floor(log10(
+                            ((coalesce(t.n, 0) + cast(0.5 as double)) / dt)
+                            / ((r.n + cast(0.5 as double)) / dr))
+                            * 1000000 + 0.5) as bigint) as m
+                from rcnt r left join tcnt t using (b) cross join tots)
+            select g.doc_id, count(*) as n_grams,
+                   cast(sum(m.m) as bigint) as dsir_weight_micro
+            from grams g join micro m on m.b = g.b
+            group by g.doc_id
+        """,
+        # in-doc repeated-line removal over the q_strip_repeated_lines
+        # decoration: line li is a copy of BASE line li-1 when
+        # (doc_id+li)%3==0, first occurrences kept in order.
+        "strip_repeated_lines": f"""
+            with tok as (select doc_id, {_TOKEN_SQL} as toks from documents),
+            lines0 as (
+                select doc_id, i as li,
+                       array_to_string(toks[10*i+1 : 10*i+10], ' ') as base
+                from tok, unnest(generate_series(0,
+                     greatest(1, cast(ceil(len(toks)/10.0) as int)) - 1))
+                     as t(i)),
+            built as (
+                select doc_id, li,
+                       case when li > 0 and (doc_id + li) % 3 = 0
+                            then lag(base) over
+                                 (partition by doc_id order by li)
+                            else base end as line
+                from lines0),
+            kept as (
+                select doc_id, li, line from built
+                qualify row_number() over
+                    (partition by doc_id, line order by li) = 1),
+            tot as (select doc_id, count(*) as n_tot
+                    from built group by doc_id),
+            agg as (select doc_id,
+                           string_agg(line, chr(10) order by li)
+                               as clean_text,
+                           count(*) as n_kept
+                    from kept group by doc_id)
+            select a.doc_id, a.clean_text,
+                   cast(t.n_tot - a.n_kept as bigint) as n_removed
+            from agg a join tot t using (doc_id)
         """,
         # marker-word + CJK-ratio language heuristic (textstats.LANG_MARKERS);
         # tie-break = lexicographically LARGEST lang, hence the fr→es→en→de

@@ -70,6 +70,49 @@ def hash_sample(ds: "ray.data.Dataset", id_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def mix_to_proportions(ds: "ray.data.Dataset", key_col: str, id_col: str,
+                       shares: dict) -> "ray.data.Dataset":
+    """Downsample each group so the OUTPUT matches target proportions —
+    the data-mixing step of an LLM training recipe (the Pile / FineWeb
+    style "x% of tokens from source A" rebalancing), without upsampling:
+    the largest achievable output is picked by the binding group.
+
+    Two passes, both cheap: (1) per-key counts via per-batch partials and
+    a groupby over at most ``len(shares)`` keys (driver state is one
+    counter per *named* group, never per domain — rows whose key is not
+    in ``shares`` are dropped, so the count exchange is bounded by the
+    recipe size); (2) a content-deterministic :func:`hash_sample` with
+    per-key fractions.  Derivation, mirrored literally by the SQL oracle
+    (same op order, so the IEEE doubles — and hence the md5-rank
+    thresholds — agree bit-for-bit):
+
+    - ``n_out = min over groups(count_g / share_g)`` (groups present);
+    - ``rate_g = share_g * n_out / count_g`` (≥1 → keep the whole group).
+    """
+    keys = list(shares)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t[key_col].to_pylist()).value_counts()
+        vc = vc[vc.index.isin(keys)]
+        return pa.table({
+            "key": pa.array(vc.index.astype(str), type=pa.string()),
+            "n": pa.array(vc.values, type=pa.int64()),
+        })
+
+    cnt = (ds.select_columns([key_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("key").sum("n").to_pandas())
+    counts = dict(zip(cnt["key"], cnt["sum(n)"]))
+    present = [k for k in keys if counts.get(k) and shares[k] > 0]
+    if not present:
+        return hash_sample(ds, id_col, key_col=key_col,
+                           fraction_by_key={}, default_fraction=0.0)
+    n_out = min(int(counts[k]) / shares[k] for k in present)
+    frac = {k: shares[k] * n_out / int(counts[k]) for k in present}
+    return hash_sample(ds, id_col, key_col=key_col,
+                       fraction_by_key=frac, default_fraction=0.0)
+
+
 def cap_per_key(ds: "ray.data.Dataset", key_col: str, id_col: str,
                 cap: int, num_buckets: int = 256) -> "ray.data.Dataset":
     """Keep at most ``cap`` rows per key — deterministic winners: smallest

@@ -183,6 +183,37 @@ def c4_line_filter_batch(batch: pa.Table, text_col: str = "text",
     })
 
 
+def strip_repeated_lines_batch(batch: pa.Table, text_col: str = "text",
+                               id_col: str = "doc_id") -> pa.Table:
+    """In-document repetition removal: drop every line that exactly
+    repeats an earlier line of the SAME document, keeping first
+    occurrences in order (the within-page half of RefinedWeb/CCNet line
+    dedup — boilerplate nav bars, cookie banners and footers repeat
+    inside a page long before they repeat across the corpus; the
+    corpus-wide half is ``stages/dedup.line_dedup``, which needs an
+    exchange — this one is a pure map, no shuffle at all).
+
+    Output, one row per input doc: (doc_id, clean_text, n_removed)."""
+    txt = batch[text_col].combine_chunks()
+    parts = pc.split_pattern(txt, pattern="\n")
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    df = pd.DataFrame({
+        "parent": parent,
+        "line": pc.list_flatten(parts).to_pylist(),
+    })
+    dup = df.duplicated(subset=["parent", "line"]).to_numpy()
+    kept = df[~dup].groupby("parent", sort=True)["line"].agg("\n".join)
+    removed = np.bincount(parent[dup], minlength=len(batch))
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        "clean_text": pa.array(
+            kept.reindex(range(len(batch)), fill_value="").values,
+            type=pa.string()),
+        "n_removed": pa.array(removed, type=pa.int64()),
+    })
+
+
 def gopher_repetition_batch(batch: pa.Table, text_col: str = "text",
                             line_tokens: int = 10) -> pa.Table:
     """Gopher-style repetition quality signals (Rae et al. 2021, table A1),

@@ -763,6 +763,133 @@ class TestLineDedup:
         assert got == self._serial(rows)
 
 
+class TestDomainMix:
+    def test_hits_target_proportions(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from spidey_ray.stages.sampling import mix_to_proportions
+
+        rows = ([{"id": i, "k": "a"} for i in range(600)]
+                + [{"id": 10_000 + i, "k": "b"} for i in range(100)]
+                + [{"id": 20_000 + i, "k": "c"} for i in range(50)]
+                + [{"id": 30_000 + i, "k": "junk"} for i in range(40)])
+        shares = {"a": 0.5, "b": 0.3, "c": 0.2}
+        out = mix_to_proportions(
+            ray.data.from_items(rows), "k", "id", shares).to_pandas()
+
+        # binding group: c (50/0.2=250 < 600/0.5=1200, 100/0.3=333) kept whole
+        assert (out["k"] == "c").sum() == 50
+        # unlisted key dropped entirely
+        assert not (out["k"] == "junk").any()
+
+        # exact membership mirror: rate -> md5-rank threshold per the
+        # documented derivation
+        n_out = min(600 / 0.5, 100 / 0.3, 50 / 0.2)
+        for key, n in (("a", 600), ("b", 100), ("c", 50)):
+            rate = shares[key] * n_out / n
+            thr = ("g" if rate >= 1.0
+                   else format(int(rate * 0x1_0000_0000), "08x"))
+            got = set(out.loc[out["k"] == key, "id"])
+            want = {r["id"] for r in rows if r["k"] == key
+                    and hashlib.md5(str(r["id"]).encode()).hexdigest()[:8]
+                    < thr}
+            assert got == want
+        # proportions land near target (binomial noise at n≈250)
+        p = out["k"].value_counts(normalize=True)
+        assert abs(p["a"] - 0.5) < 0.1 and abs(p["b"] - 0.3) < 0.1
+
+
+class TestDsirWeights:
+    def test_matches_scalar_reference(self, ray_session):
+        import hashlib
+        import math
+
+        import ray.data
+
+        from spidey_ray.stages.dsir import (ALPHA, NUM_BUCKETS,
+                                            dsir_weights)
+        from spidey_ray.stages.textstats import tokens_of
+
+        docs = [
+            (0, "the cat sat on the mat"),
+            (1, "stock market prices fell sharply today again"),
+            (2, "the cat ran on the mat"),
+            (3, "a cat sat"),
+            (4, ""),                      # no tokens: excluded
+        ]
+        target = [d for d in docs if d[0] % 2 == 0]
+
+        def grams(toks):
+            return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:3], 16)
+
+        ct = [0] * NUM_BUCKETS
+        cr = [0] * NUM_BUCKETS
+        for _, t in target:
+            for g in grams(tokens_of(t)):
+                ct[bucket(g)] += 1
+        for _, t in docs:
+            for g in grams(tokens_of(t)):
+                cr[bucket(g)] += 1
+        dt = float(sum(ct)) + ALPHA * NUM_BUCKETS
+        dr = float(sum(cr)) + ALPHA * NUM_BUCKETS
+
+        def ref(toks):
+            gs = grams(toks)
+            tot = 0
+            for g in gs:
+                b = bucket(g)
+                r = ((ct[b] + ALPHA) / dt) / ((cr[b] + ALPHA) / dr)
+                tot += math.floor(math.log10(r) * 1e6 + 0.5)
+            return len(gs), tot
+
+        out = dsir_weights(
+            ray.data.from_items(
+                [{"doc_id": d, "text": t} for d, t in docs]),
+            ray.data.from_items(
+                [{"doc_id": d, "text": t} for d, t in target]),
+        ).to_pandas().set_index("doc_id").sort_index()
+        assert list(out.index) == [0, 1, 2, 3]
+        for d, t in docs[:4]:
+            n, tot = ref(tokens_of(t))
+            assert out.loc[d, "n_grams"] == n
+            assert out.loc[d, "dsir_weight_micro"] == tot
+        # target-slice doc scores above the out-of-domain doc
+        assert (out.loc[0, "dsir_weight_micro"] / out.loc[0, "n_grams"]
+                > out.loc[1, "dsir_weight_micro"] / out.loc[1, "n_grams"])
+
+
+class TestStripRepeatedLines:
+    def test_rules(self, ray_session):
+        import pyarrow as _pa
+
+        from spidey_ray.stages.textstats import strip_repeated_lines_batch
+
+        docs = [
+            (0, "nav bar\nreal one\nnav bar\nreal two\nnav bar"),
+            (1, "only\nunique\nlines"),
+            (2, "x\nx\nx\nx"),
+            (3, ""),
+        ]
+        out = strip_repeated_lines_batch(_pa.table({
+            "doc_id": _pa.array([d for d, _ in docs], type=_pa.int64()),
+            "text": _pa.array([t for _, t in docs]),
+        })).to_pandas().set_index("doc_id")
+        assert list(out.index) == [0, 1, 2, 3]  # every doc survives
+        assert out.loc[0, "clean_text"] == "nav bar\nreal one\nreal two"
+        assert out.loc[0, "n_removed"] == 2
+        assert out.loc[1, "clean_text"] == "only\nunique\nlines"
+        assert out.loc[1, "n_removed"] == 0
+        assert out.loc[2, "clean_text"] == "x"
+        assert out.loc[2, "n_removed"] == 3
+        assert out.loc[3, "clean_text"] == ""
+        assert out.loc[3, "n_removed"] == 0
+
+
 class TestC4LineFilter:
     def test_rules(self, ray_session):
         import pyarrow as _pa
