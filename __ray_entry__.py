@@ -641,6 +641,54 @@ def q_c4_line_filter(sf_dir: str):
         c4_line_filter_batch, batch_format="pyarrow")
 
 
+def q_curation_pipeline(sf_dir: str):
+    """The composed FineWeb-shape curation chain
+    (pipelines/curation.curate): in-doc line dedup → C4 line/doc rules →
+    Gopher repetition gate → LM quality gate (trained on the survivors'
+    %10 slice) → MinHash near-dedup → language-mix rebalance.  Input is
+    the same deterministic line decoration as q_c4_line_filter (the flat
+    token corpus carries no punctuation), with lang carried through all
+    six stages.  Rows-only: each constituent has its own SQL oracle."""
+    from spidey_ray.pipelines.curation import curate
+    from spidey_ray.stages.textstats import tokens_of
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def decorate(t: pa.Table) -> pa.Table:
+        out = []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = tokens_of(txt)
+            lines = []
+            for li in range(max(1, (len(toks) + 9) // 10)):
+                base = toks[li * 10:li * 10 + 10]
+                if (d + li) % 5 == 0:
+                    base = base[:2]
+                s = " ".join(base)
+                if (d + li) % 7 == 0:
+                    s = "javascript " + s
+                if (d + li) % 4 != 0:
+                    s = s + "."
+                lines.append(s)
+            if d % 13 == 0:
+                lines.append("lorem ipsum.")
+            if d % 17 == 0:
+                lines.append("a { b.")
+            out.append("\n".join(lines))
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(out, type=pa.string()),
+                         "lang": t["lang"]})
+
+    out = curate(
+        docs.map_batches(decorate, batch_format="pyarrow"),
+        meta_cols=["lang"],
+        mix_key="lang",
+        mix_shares={"en": 0.4, "zh": 0.15, "es": 0.15,
+                    "de": 0.15, "fr": 0.15},
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_lm_perplexity(sf_dir: str):
     """CCNet-shape LM quality scoring: stupid-backoff trigram model
     trained (distributed count aggregation) on the doc_id%10==0 reference
@@ -1402,6 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first 50 entries overall get a driver verdict; every SQL-oracle
         # entry sits above this line, rows-only entries below are
         # covered by pytest + tools/check_entry.py ---
+        "curation_pipeline": q_curation_pipeline,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,

@@ -763,6 +763,61 @@ class TestLineDedup:
         assert got == self._serial(rows)
 
 
+class TestCurationPipeline:
+    """One planted victim per gate of pipelines/curation.curate."""
+
+    DOCS = [
+        # 0: survivor (and the lm_train_mod=2 train slice with 4)
+        (0, "the quick brown fox jumps over the lazy dog today.\n"
+            "a calm river flows gently through the green valley now.\n"
+            "bright stars shine over the quiet mountain village tonight.\n"
+            "warm bread and fresh butter make a fine meal.", "x"),
+        # 1: C4 victim — only two terminal-punct lines survive
+        (1, "a perfectly good first line for the filter.\n"
+            "a perfectly good second line for the filter.\n"
+            "this line has no terminal punctuation", "x"),
+        # 2: Gopher victim — "ping pong" dominates the 2-gram stream
+        (2, "ping pong ping pong ping pong round one.\n"
+            "ping pong ping pong ping pong round two.\n"
+            "ping pong ping pong ping pong round three.", "x"),
+        # 3: LM victim — novel vocabulary, nothing in the train slice
+        (3, "zorblat quignax flumpet drazzle worvex snigglet porv here.\n"
+            "crindle vapmot slorgan betwixle quandor freemix halt there.\n"
+            "gromple zintak prewsel donquat mirvane trosk ends now.", "y"),
+        # 4: survivor (train slice), distinct vocabulary from 0
+        (4, "heavy engines pull long trains across the open plain.\n"
+            "signal lights change slowly beside the empty station yard.\n"
+            "old iron bridges cross the wide northern river delta.\n"
+            "freight wagons carry coal toward the distant harbor gate.", "y"),
+        # 5: MinHash victim — doc 4 with only the last word changed
+        (5, "heavy engines pull long trains across the open plain.\n"
+            "signal lights change slowly beside the empty station yard.\n"
+            "old iron bridges cross the wide northern river delta.\n"
+            "freight wagons carry coal toward the distant harbor wall.", "y"),
+    ]
+
+    def test_each_gate_drops_its_victim(self, ray_session):
+        import ray.data
+
+        from spidey_ray.pipelines.curation import curate
+
+        out = curate(
+            ray.data.from_items(
+                [{"doc_id": d, "text": t, "lang": g}
+                 for d, t, g in self.DOCS]),
+            meta_cols=["lang"],
+            lm_train_mod=2,
+            lm_min_micro_per_token=-1_000_000,
+            mix_key="lang", mix_shares={"x": 0.5, "y": 0.5},
+        ).to_pandas().set_index("doc_id").sort_index()
+        assert list(out.index) == [0, 4]
+        # meta carried through every stage, text is the cleaned text
+        assert out.loc[0, "lang"] == "x" and out.loc[4, "lang"] == "y"
+        assert out.loc[0, "text"] == self.DOCS[0][1]
+        # C4 victim loses its unpunctuated line before dying on min_lines
+        assert "no terminal punctuation" not in " ".join(out["text"])
+
+
 class TestDomainMix:
     def test_hits_target_proportions(self, ray_session):
         import hashlib
