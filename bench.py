@@ -185,19 +185,22 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int) -> tuple[dict, list]:
         # best-of-N per level: this VM sees ±15-20% hypervisor steal
         # (BASELINE.md); the MIN is the least-interfered run and the only
         # stable estimator of the engine's own scaling. Alternate steal
-        # exposure is also why each run is a fresh process.
+        # exposure is also why each run is a fresh process. Per-rep
+        # steal_pct is reported so a pair captured in a burst is visibly
+        # a burst artifact, not an engine number.
         reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
-        return min((run_once(ncpu) for _ in range(reps)),
-                   key=lambda r: r["value"])
+        rs = [run_once(ncpu) for _ in range(reps)]
+        return (min(rs, key=lambda r: r["value"]),
+                [[r["value"], r.get("steal_pct")] for r in rs])
 
     # default pair 4→16: below the shared-socket memory-bandwidth
     # saturation knee (see BASELINE.md); --hi32 measures 8→32
     lo, hi = (8, 32) if "--hi32" in sys.argv else (4, 16)
-    r_lo, r_hi = run(lo), run(hi)
+    (r_lo, reps_lo), (r_hi, reps_hi) = run(lo), run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(json.dumps({
         "metric": "scaling_efficiency",
@@ -206,6 +209,7 @@ def scaling() -> None:
         "urls": r_lo["urls"],
         "urls_per_sec_lo": r_lo["urls_per_sec"],
         "urls_per_sec_hi": r_hi["urls_per_sec"],
+        "reps_lo_sec_steal": reps_lo, "reps_hi_sec_steal": reps_hi,
         "scaling_efficiency": round(eff, 3),
     }))
 

@@ -90,7 +90,7 @@ def simhash_from_tokens(tokens: list[str]) -> tuple[int, int]:
 
 def bit_similarity(h1: int, h2: int) -> float:
     """Fraction of equal bits out of 64 (scraper.py:308-318)."""
-    return (64 - int(bin(h1 ^ h2).count("1"))) / 64.0
+    return (64 - (h1 ^ h2).bit_count()) / 64.0
 
 
 def length_ratio(n1: int, n2: int) -> float:

@@ -71,6 +71,14 @@ from ..stages.round_stage import round_process_batch
 from . import crawl_logic
 from .crawl_logic import BlacklistState, GateState, NewPattern
 
+
+@ray.remote(num_cpus=1)
+def _round_stage_task(tbl: pa.Table, kwargs: dict) -> pa.Table:
+    """One crawl-round block: fetch+parse+token partials+doc side-writes
+    (stages/round_stage.py).  ``kwargs`` arrives as an auto-dereferenced
+    ``ray.put`` ref — shipped once per round, not once per block."""
+    return round_process_batch(tbl, **kwargs)
+
 PENDING_COLS = ["url", "url_hash", "host", "depth", "parent_url", "round_added"]
 
 
@@ -382,6 +390,7 @@ class CrawlEngine:
             n_host_shards, spill_dir=spill_dir,
             mem_rows_per_host=frontier_mem_rows_per_host)
         self.footprints = ShardedFootprints(n_seen_shards)
+        self._fp_put_refs: list = []
         # full fetch history is retained in driver memory ONLY for
         # checkpoint-less (test-scale) runs; with a ckpt_dir the per-round
         # fetched_delta parquet on disk IS the log (read back at result time)
@@ -576,25 +585,30 @@ class CrawlEngine:
             step = (len(in_tbl) + n_blocks - 1) // n_blocks
             slices = [in_tbl.slice(i, step) for i in range(0, len(in_tbl), step)]
             self._stage_blocks, self._stage_max_block = len(slices), step
-            ds = (
-                ray.data.from_arrow(slices)
-                .map_batches(
-                    round_process_batch,
-                    fn_kwargs=stage_kwargs,
-                    batch_format="pyarrow",
-                    batch_size=None,       # whole blocks: block-level token
-                                           # partials + one doc side-file each
-                    num_cpus=1,
-                    # a real fetch is non-idempotent (politeness budgets,
-                    # no-retry semantics, scraper.py:413-417)
-                    **({} if self._synthetic_fetch
-                       else {"max_retries": 0}),
-                )
-                .materialize()
-            )
+            # RAW TASKS, deliberately (the one non-Dataset hot stage in the
+            # engine): a crawl round is a BOUNDED SYNCHRONOUS barrier map —
+            # the block set is fixed up front and the round cannot proceed
+            # until every block returns, so none of the Dataset streaming
+            # executor's machinery (backpressure, pipelining, spill) can
+            # engage; it only adds measured ~0.27 s fixed startup/teardown
+            # PER ROUND (vs ~0.03 s for plain tasks on the identical
+            # 64-block map), a pure scaling-efficiency tax at high
+            # parallelism.  Every corpus-shaped pipeline in this repo
+            # remains Dataset-first; the shared kwargs ship once per round
+            # via ray.put and tasks run on the same worker pool (the
+            # per-worker compile caches keyed by blacklist_version still
+            # hit).
+            kwargs_ref = ray.put(stage_kwargs)
+            task = _round_stage_task
+            if not self._synthetic_fetch:
+                # a real fetch is non-idempotent (politeness budgets,
+                # no-retry semantics, scraper.py:413-417)
+                task = task.options(max_retries=0)
+            refs = [task.remote(s, kwargs_ref) for s in slices]
+            blocks = ray.get(refs)
             t = self._t("fetch_parse_exec", t)
             # zero-copy block gather; only needed columns become pandas below
-            ctbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+            ctbl = pa.concat_tables(blocks)
         t = self._t("fetch_parse", t)
 
         # ---- 3. sequential gates over compact records ----
@@ -647,7 +661,9 @@ class CrawlEngine:
         new_fp = {u: v for u, v in self.gate.page_footprints.items()
                   if u not in prefetched}
         if new_fp:
-            self.footprints.put_many(new_fp)
+            # async: actor-order guarantees read-after-write; refs drained
+            # at the next sync point only to surface shard errors
+            self._fp_put_refs.extend(self.footprints.put_many(new_fp))
         self.gate.page_footprints = {}
         t = self._t("gates", t)
 
@@ -823,6 +839,9 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _checkpoint(self, round_k: int) -> None:
+        if self._fp_put_refs:   # surface any failed async footprint writes
+            ray.get(self._fp_put_refs)
+            self._fp_put_refs = []
         rd = os.path.join(self.ckpt_dir, f"round={round_k:05d}")
         os.makedirs(rd, exist_ok=True)
         # sharded state checkpoints itself: each frontier / footprint /
@@ -940,6 +959,7 @@ class CrawlEngine:
                                          200_000))
         round_dirs = [os.path.join(ckpt_dir, r) for r in rounds]
         self.footprints = ShardedFootprints.restore(round_dirs)
+        self._fp_put_refs = []
         self.ckpt_compact_every = max(1, kwargs.get("ckpt_compact_every", 16))
         self._fetched_frames = []   # read from fetched_delta logs at result time
 
@@ -991,6 +1011,9 @@ class CrawlEngine:
         until an eager accessor explicitly asks for it (round-2 verdict:
         run() used to concatenate the full fetch log here, OOMing at 10^10
         even though the crawl itself had succeeded)."""
+        if self._fp_put_refs:   # surface any failed async footprint writes
+            ray.get(self._fp_put_refs)
+            self._fp_put_refs = []
         return EngineResult(
             gate=self.gate,
             blacklist=self.blacklist,
@@ -1008,6 +1031,12 @@ class CrawlEngine:
 
 
 def _update_longest(longest: list[tuple[int, str]], n: int, url: str) -> None:
+    # kept sorted by (-n, url); most rows lose to the current 10th and
+    # return without sorting (this ran a list.sort per tokenized URL)
+    if len(longest) >= 10:
+        wn, wu = longest[-1]
+        if n < wn or (n == wn and url >= wu):
+            return
     longest.append((n, url))
     longest.sort(key=lambda x: (-x[0], x[1]))
     del longest[10:]

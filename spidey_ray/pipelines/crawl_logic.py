@@ -153,14 +153,23 @@ class BlacklistState:
     """Permanent + temporary regex blacklists (scraper.py:37-38, 556-568)."""
     permanent: dict[str, str] = field(default_factory=dict)   # pattern -> reason
     temp: set[str] = field(default_factory=set)
+    version: int = 0               # bumped on every add; keys matcher cache
+    _matcher_cache: tuple | None = field(default=None, repr=False)
 
     def matcher(self) -> CompiledBlacklist:
-        return CompiledBlacklist(self.patterns())
+        # compile-per-call was ~75 ms/round of pure driver serial time at
+        # crawl-scale pattern counts; the pattern set only changes on add()
+        c = self._matcher_cache
+        if c is None or c[0] != self.version:
+            c = (self.version, CompiledBlacklist(self.patterns()))
+            self._matcher_cache = c
+        return c[1]
 
     def patterns(self) -> list[str]:
         return list(self.permanent) + sorted(self.temp)
 
     def add(self, pattern: str, reason: str, temporary: bool) -> None:
+        self.version += 1
         if temporary:
             self.temp.add(pattern)
         else:

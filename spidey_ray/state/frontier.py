@@ -529,6 +529,14 @@ class FootprintShard:
         self._delta.update(items)
         return len(self.d)
 
+    def put_arrays(self, urls: list[str], simhash, n_tokens) -> int:
+        """Columnar put: two numpy buffers serialize zero-copy where a
+        100k-entry dict costs ~200k msgpack objects on the caller."""
+        items = dict(zip(urls, zip(simhash.tolist(), n_tokens.tolist())))
+        self.d.update(items)
+        self._delta.update(items)
+        return len(self.d)
+
     def count(self) -> int:
         return len(self.d)
 
@@ -569,13 +577,27 @@ class ShardedFootprints:
             out.update(d)
         return out
 
-    def put_many(self, items: dict[str, tuple[int, int]]) -> None:
-        by_shard: list[dict] = [dict() for _ in range(self.n_shards)]
+    def put_many(self, items: dict[str, tuple[int, int]]) -> list:
+        """Submit the writes and return the refs WITHOUT waiting.  Safe to
+        fire-and-forget for correctness: Ray executes actor tasks from the
+        same caller in submission order, so any later ``get_many`` /
+        ``checkpoint`` on a shard serializes behind this put.  Callers keep
+        the refs and drain them at a sync point purely to surface errors."""
+        import numpy as np
+
+        by_shard: list[list] = [[] for _ in range(self.n_shards)]
         for u, v in items.items():
-            by_shard[self._route(u)][u] = v
-        refs = [s.put_many.remote(d)
-                for s, d in zip(self.shards, by_shard) if d]
-        ray.get(refs)
+            by_shard[self._route(u)].append((u, v))
+        refs = []
+        for s, rows in zip(self.shards, by_shard):
+            if rows:
+                urls = [u for u, _ in rows]
+                sh = np.fromiter((v[0] for _, v in rows),
+                                 dtype=np.uint64, count=len(rows))
+                nt = np.fromiter((v[1] for _, v in rows),
+                                 dtype=np.int64, count=len(rows))
+                refs.append(s.put_arrays.remote(urls, sh, nt))
+        return refs
 
     def checkpoint(self, round_dir: str, full: bool = False) -> list[str]:
         kind = "full" if full else "delta"

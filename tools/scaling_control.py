@@ -23,8 +23,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_PAGES = 40_000
+N_PAGES = 24_000
 BATCH = 250
+# page shape mirrors bench.py's BENCH_WEB exactly (256 hosts × 400 pages,
+# branching 400, 1600 tokens/page) — a control with lighter pages would
+# overstate the ceiling: heavier per-page compute hides memory-bandwidth
+# contention that the real bench pages do feel
+PAGE_CFG = dict(n_hosts=256, pages_per_host=400, branching=400,
+                cross_links=2, tokens_per_page=1600, n_seeds=256)
 
 
 def _level(num_cpus: int) -> float:
@@ -42,11 +48,10 @@ def _level(num_cpus: int) -> float:
         from spidey_ray.functions.tokenize import crawl_tokenize
         from spidey_ray.sources import synthetic_web as sw
 
-        cfg = sw.WebConfig(n_hosts=512, pages_per_host=256,
-                           tokens_per_page=400)
+        cfg = sw.WebConfig(**PAGE_CFG)
         total = 0
         for i in range(start, start + n):
-            url = f"https://h{i % 512}.example.com/p/{i // 512 % 256}"
+            url = f"https://h{i % 256}.example.com/p/{i // 256 % 400}"
             page = sw.fetch(cfg, url)
             doc = parse_document(page.content, url, "utf-8")
             toks = crawl_tokenize(" ".join(s.text for s in doc.spans))
@@ -57,29 +62,38 @@ def _level(num_cpus: int) -> float:
     # warmup: spin up the worker pool untimed
     ray.get([parse_batch.remote(0, BATCH) for _ in range(num_cpus)])
     t0 = time.time()
+    def _stat():
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        return sum(v), v[7] if len(v) > 7 else 0
+
+    t_0, s_0 = _stat()
     refs = [parse_batch.remote(s, BATCH) for s in range(0, N_PAGES, BATCH)]
     ray.get(refs)
     sec = time.time() - t0
+    t_1, s_1 = _stat()
     ray.shutdown()
-    return sec
+    return sec, round(100.0 * (s_1 - s_0) / max(1, t_1 - t_0), 2)
 
 
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--level":
-        print(json.dumps({"sec": _level(int(sys.argv[2]))}))
+        sec, steal = _level(int(sys.argv[2]))
+        print(json.dumps({"sec": sec, "steal_pct": steal}))
         return
     lo = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    secs = {}
+    secs, steals = {}, {}
     for cpus in (lo, hi):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--level", str(cpus)],
             capture_output=True, text=True, check=True)
-        secs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        secs[cpus], steals[cpus] = r["sec"], r["steal_pct"]
     eff = (secs[lo] / secs[hi]) / (hi / lo)
     print(json.dumps({
         "cpus_lo": lo, "sec_lo": round(secs[lo], 2),
         "cpus_hi": hi, "sec_hi": round(secs[hi], 2),
+        "steal_lo_pct": steals[lo], "steal_hi_pct": steals[hi],
         "eff": round(eff, 3),
     }))
 
