@@ -733,6 +733,46 @@ def q_gopher_repetition(sf_dir: str):
             .map_batches(gopher_repetition_batch, batch_format="pyarrow"))
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher table-A1 quality signals (non-repetition half) over
+    deterministically decorated lines: the flat token corpus carries no
+    bullets / ellipses / symbols / stop words, so both sides build the
+    same 10-token lines and plant the triggers by (doc_id, line_idx)
+    arithmetic — '- ' bullet prefix on (d+li)%3==0 lines, ' # 42'
+    symbol+numeric-word suffix on %5==0 lines, '...' ellipsis on %4==0
+    lines, and a final line holding the first d%9 of the 8 required
+    stop words.  Output is integer counts + the pass flag; every rule is
+    an integer comparison (stages/textstats.py:gopher_quality_batch)."""
+    from spidey_ray.stages.textstats import (_GOPHER_STOPS,
+                                             gopher_quality_batch, tokens_of)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def decorate(t: pa.Table) -> pa.Table:
+        out = []
+        for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = tokens_of(txt)
+            lines = []
+            for li in range(max(1, (len(toks) + 9) // 10)):
+                s = " ".join(toks[li * 10:li * 10 + 10])
+                if (d + li) % 5 == 0:
+                    s += " # 42"
+                if (d + li) % 4 == 0:
+                    s += "..."
+                if (d + li) % 3 == 0:
+                    s = "- " + s
+                lines.append(s)
+            k = d % 9
+            if k:
+                lines.append(" ".join(_GOPHER_STOPS[:k]))
+            out.append("\n".join(lines))
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(out, type=pa.string())})
+
+    return docs.map_batches(decorate, batch_format="pyarrow").map_batches(
+        gopher_quality_batch, batch_format="pyarrow")
+
+
 def q_stratified_sample(sf_dir: str):
     """Content-deterministic stratified sampling of orders by status
     (md5-rank thresholds — bit-reproducible in any engine, which is why
@@ -1446,10 +1486,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix": q_domain_mix,
         "dsir_weights": q_dsir_weights,
         "strip_repeated_lines": q_strip_repeated_lines,
+        "gopher_quality": q_gopher_quality,
         # --- rows-only checks: one per distinct capability.  Only the
-        # first 50 entries overall get a driver verdict; every SQL-oracle
-        # entry sits above this line, rows-only entries below are
-        # covered by pytest + tools/check_entry.py ---
+        # first 50 entries overall get a driver verdict — the 50 slots
+        # above this line are ALL SQL-oracle entries; rows-only entries
+        # below are covered by pytest + tools/check_entry.py ---
         "curation_pipeline": q_curation_pipeline,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -1878,6 +1919,74 @@ def oracle_sql() -> dict[str, str]:
             join lstat on lstat.doc_id = tok.doc_id
             left join t2 on t2.doc_id = tok.doc_id
             left join t5 on t5.doc_id = tok.doc_id
+        """,
+        # Gopher table-A1 quality signals (non-repetition half) over the
+        # same decorated lines q_gopher_quality builds; every output is an
+        # integer count and every rule an integer comparison, so the value
+        # hash is dtype-exact with no float anywhere.
+        "gopher_quality": rf"""
+            with tok as (select doc_id, {_TOKEN_SQL} as toks from documents),
+            built as (
+                select doc_id, i as li,
+                    (case when (doc_id + i) % 3 = 0 then '- ' else '' end) ||
+                    array_to_string(toks[10*i+1 : 10*i+10], ' ') ||
+                    (case when (doc_id + i) % 5 = 0 then ' # 42' else '' end) ||
+                    (case when (doc_id + i) % 4 = 0 then '...' else '' end)
+                        as line
+                from tok, unnest(generate_series(0,
+                    greatest(1, cast(ceil(len(toks) / 10.0) as int)) - 1))
+                    as t(i)),
+            stopline as (
+                select doc_id, 1000000000 as li,
+                    array_to_string(
+                        (['the','be','to','of','and','that','have','with'])
+                            [1:doc_id % 9], ' ') as line
+                from tok where doc_id % 9 <> 0),
+            alllines as (
+                select * from built union all select * from stopline),
+            lstat as (
+                select doc_id,
+                    count(*) as n_lines,
+                    cast(sum(case when line like '- %' or line like '* %'
+                                    or line like '• %'
+                             then 1 else 0 end) as bigint) as n_bullet_lines,
+                    cast(sum(case when line like '%...' or line like '%…'
+                             then 1 else 0 end) as bigint) as n_ellipsis_lines,
+                    cast(sum(len(regexp_extract_all(line, '\S+')))
+                         as bigint) as n_words,
+                    cast(sum(length(replace(line, ' ', '')))
+                         as bigint) as n_word_chars,
+                    cast(sum(length(line) - length(replace(line, '#', ''))
+                        + (length(line) - length(replace(line, '...', '')))
+                              // 3
+                        + length(line) - length(replace(line, '…', '')))
+                         as bigint) as n_symbols,
+                    cast(sum(len(list_filter(
+                             regexp_extract_all(line, '\S+'),
+                             w -> regexp_matches(w, '[A-Za-z]'))))
+                         as bigint) as n_alpha_words
+                from alllines group by doc_id),
+            stops as (
+                select doc_id, count(distinct w) as n_stop_hits
+                from (select doc_id,
+                             unnest(regexp_extract_all(lower(line),
+                                                       '[a-z0-9'']+')) as w
+                      from alllines)
+                where w in ('the','be','to','of','and','that','have','with')
+                group by doc_id)
+            select l.doc_id, l.n_words, l.n_word_chars, l.n_symbols,
+                l.n_lines, l.n_bullet_lines, l.n_ellipsis_lines,
+                l.n_alpha_words,
+                coalesce(s.n_stop_hits, 0) as n_stop_hits,
+                (l.n_words between 50 and 100000
+                 and 3 * l.n_words <= l.n_word_chars
+                 and l.n_word_chars <= 10 * l.n_words
+                 and 10 * l.n_symbols <= l.n_words
+                 and 10 * l.n_bullet_lines <= 9 * l.n_lines
+                 and 10 * l.n_ellipsis_lines <= 3 * l.n_lines
+                 and 5 * l.n_alpha_words >= 4 * l.n_words
+                 and coalesce(s.n_stop_hits, 0) >= 2) as gopher_pass
+            from lstat l left join stops s on s.doc_id = l.doc_id
         """,
         # ExactSubstr duplicated spans (k=8): positions whose 8-gram occurs
         # >= 2 times corpus-wide, merged into maximal extents (hits chain

@@ -109,13 +109,20 @@ def curate(docs: "ray.data.Dataset", *,
     cleaned = docs.map_batches(clean, batch_format="pyarrow")
 
     # 4. LM gate: train on a slice of the survivors (distributed counts),
-    # broadcast the pruned model, score + gate inline.
+    # broadcast the pruned model, score + gate inline.  The slice filter
+    # is applied at the SOURCE, before clean(): every gate so far is
+    # per-document and deterministic, so survivors-of-slice ==
+    # slice-of-survivors — identical training corpus, but the training
+    # pass cleans 1/lm_train_mod of the data instead of all of it
+    # (clean() is otherwise re-executed in full because this lazy
+    # dataset is consumed twice).
     def train_slice(t: pa.Table) -> pa.Table:
         d = t[id_col].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(d % lm_train_mod == 0))
 
     model = build_backoff_model(ngram_count_rows(
-        cleaned.map_batches(train_slice, batch_format="pyarrow"),
+        docs.map_batches(train_slice, batch_format="pyarrow")
+            .map_batches(clean, batch_format="pyarrow"),
         text_col=text_col))
     model_ref = ray.put(model)
 

@@ -259,6 +259,76 @@ def gopher_repetition_batch(batch: pa.Table, text_col: str = "text",
     })
 
 
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLET_PREFIXES = ("- ", "* ", "• ")
+_ELLIPSIS_SUFFIXES = ("...", "…")
+
+
+def gopher_quality_batch(batch: pa.Table, text_col: str = "text",
+                         min_words: int = 50,
+                         max_words: int = 100_000) -> pa.Table:
+    """Gopher quality-filter signals (Rae et al. 2021, table A1) — the
+    non-repetition half, complementing ``gopher_repetition_batch``.  One
+    row per doc, every column an int64 count (plus the final bool), and
+    every rule a pure INTEGER comparison — no division anywhere, so the
+    result is byte-comparable against a SQL oracle:
+
+    - ``n_words`` / ``n_word_chars``: whitespace words and their total
+      chars; word-count window = ``min_words <= n_words <= max_words``,
+      mean-word-length window 3..10 = ``3*n_words <= n_word_chars <=
+      10*n_words``;
+    - ``n_symbols``: '#' + ellipsis occurrences; symbol-to-word ratio
+      <= 0.1 = ``10*n_symbols <= n_words``;
+    - ``n_bullet_lines`` <= 90% of ``n_lines``; ``n_ellipsis_lines``
+      <= 30% of ``n_lines``;
+    - ``n_alpha_words`` (words containing a letter) >= 80% of words;
+    - ``n_stop_hits``: distinct hits among 8 required stop words, >= 2.
+
+    ``gopher_pass`` is the conjunction.  Pure map — stream-safe."""
+    ids = batch["doc_id"].to_pylist()
+    nw, nwc, nsym, nl, nbul, nell, nalpha, nstop, ok = (
+        [], [], [], [], [], [], [], [], [])
+    alpha_re = re.compile(r"[A-Za-z]")
+    for t in batch[text_col].to_pylist():
+        t = t or ""
+        words = t.split()
+        w = len(words)
+        wc = sum(map(len, words))
+        sym = t.count("#") + sum(t.count(e) for e in _ELLIPSIS_SUFFIXES)
+        lines = t.split("\n")
+        n_lines = len(lines)
+        bul = sum(1 for ln in lines if ln.startswith(_BULLET_PREFIXES))
+        ell = sum(1 for ln in lines if ln.endswith(_ELLIPSIS_SUFFIXES))
+        alpha = sum(1 for word in words if alpha_re.search(word))
+        toks = set(tokens_of(t))
+        stop = sum(1 for s in _GOPHER_STOPS if s in toks)
+        nw.append(w)
+        nwc.append(wc)
+        nsym.append(sym)
+        nl.append(n_lines)
+        nbul.append(bul)
+        nell.append(ell)
+        nalpha.append(alpha)
+        nstop.append(stop)
+        ok.append(
+            min_words <= w <= max_words
+            and 3 * w <= wc <= 10 * w
+            and 10 * sym <= w
+            and 10 * bul <= 9 * n_lines
+            and 10 * ell <= 3 * n_lines
+            and 5 * alpha >= 4 * w
+            and stop >= 2)
+    i64 = lambda v: pa.array(v, type=pa.int64())  # noqa: E731
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "n_words": i64(nw), "n_word_chars": i64(nwc),
+        "n_symbols": i64(nsym), "n_lines": i64(nl),
+        "n_bullet_lines": i64(nbul), "n_ellipsis_lines": i64(nell),
+        "n_alpha_words": i64(nalpha), "n_stop_hits": i64(nstop),
+        "gopher_pass": pa.array(ok, type=pa.bool_()),
+    })
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text",
                       window: int = 8) -> pa.Table:
     """Rolling-hash (Rabin-Karp over token hashes) document fingerprint:

@@ -718,6 +718,63 @@ class TestGopherRepetition:
         assert out["dup_5gram_bp"].to_pylist() == [10000 * 14 // 16, 0, 0]
 
 
+class TestGopherQuality:
+    def test_hand_computed_signals(self):
+        import pyarrow as pa
+
+        from spidey_ray.stages.textstats import gopher_quality_batch
+
+        good = " ".join(["the", "and", "that"] + ["quality"] * 60)
+        rows = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": [
+                good,                              # passes every rule
+                "- a...\n- b...\n- c...",          # bullets+ellipses+short
+                "12 34 56 78",                     # zero alpha words
+                "",                                # empty doc
+            ],
+        })
+        out = gopher_quality_batch(rows)
+        assert out["n_words"].to_pylist() == [63, 6, 4, 0]
+        # doc 0: 3 stop words planted, 3+3+4 + 60*7 word chars
+        assert out["n_stop_hits"].to_pylist() == [3, 0, 0, 0]
+        # doc 1 words are '-' (1 char) and 'a...' (4 chars) per line
+        assert out["n_word_chars"].to_pylist() == [10 + 60 * 7, 15, 8, 0]
+        assert out["n_bullet_lines"].to_pylist() == [0, 3, 0, 0]
+        assert out["n_ellipsis_lines"].to_pylist() == [0, 3, 0, 0]
+        assert out["n_symbols"].to_pylist() == [0, 3, 0, 0]
+        assert out["n_alpha_words"].to_pylist() == [63, 3, 0, 0]
+        assert out["n_lines"].to_pylist() == [1, 3, 1, 1]
+        assert out["gopher_pass"].to_pylist() == [True, False, False, False]
+
+    def test_each_rule_gates(self):
+        """One failing doc per rule, each otherwise identical to a
+        passing base — the conjunction is exactly the 7 A1 rules."""
+        import pyarrow as pa
+
+        from spidey_ray.stages.textstats import gopher_quality_batch
+
+        base = " ".join(["the", "and"] + ["word"] * 58)       # 60 words
+        docs = {
+            "base": base,
+            "too_short": " ".join(["the", "and"] + ["word"] * 8),
+            "long_words": " ".join(
+                ["the", "and"] + ["w" * 11] * 58),            # mean > 10
+            "symbols": base + " " + "# " * 7,                 # 7 sym / 67 w
+            "bullets": "\n".join(["- x"] * 10 + [base]),      # 10/11 lines
+            "ellipses": "\n".join([base] + ["y..."] * 1),     # 1/2 lines
+            "no_alpha": " ".join(["the", "and"] + ["4242"] * 58),
+            "one_stop": " ".join(["the"] + ["word"] * 59),
+        }
+        t = pa.table({
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": list(docs.values()),
+        })
+        out = gopher_quality_batch(t)
+        got = dict(zip(docs, out["gopher_pass"].to_pylist()))
+        assert got == {k: k == "base" for k in docs}
+
+
 class TestLineDedup:
     def _serial(self, rows):
         seen, out = set(), []
