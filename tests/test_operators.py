@@ -775,6 +775,48 @@ class TestGopherQuality:
         assert got == {k: k == "base" for k in docs}
 
 
+class TestSpanStats:
+    def _table(self):
+        import pyarrow as pa
+
+        from spidey_ray.stages.round_stage import SPAN_TYPE
+
+        def s(kind, text, ref, off):
+            return {"kind": kind, "text": text, "media_ref": ref,
+                    "offset": off}
+
+        return pa.table({
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "spans": pa.array([
+                [s("text", "ab cd", "", 0), s("image", "", "m1", 1),
+                 s("text", "x", "", 2), s("image", "", "m1", 3)],
+                [s("text", "hello", "", 0), s("image", "", "m2", 0)],
+                [],
+            ], type=SPAN_TYPE),
+        })
+
+    def test_stats_hand_computed(self):
+        from spidey_ray.stages.spans import span_stats_batch
+
+        out = span_stats_batch(self._table())
+        assert out["n_spans"].to_pylist() == [4, 2, 0]
+        assert out["n_text_spans"].to_pylist() == [2, 1, 0]
+        assert out["n_media_spans"].to_pylist() == [2, 1, 0]
+        assert out["text_chars"].to_pylist() == [6, 5, 0]
+        # doc 0's two media spans share one ref
+        assert out["n_media_refs"].to_pylist() == [1, 1, 0]
+        # doc 1: offset 0 follows offset 0 — strictly-increasing violated
+        assert out["order_ok"].to_pylist() == [True, False, True]
+
+    def test_media_explode(self):
+        from spidey_ray.stages.spans import explode_media_refs_batch
+
+        out = explode_media_refs_batch(self._table())
+        assert out["doc_id"].to_pylist() == [0, 0, 1]
+        assert out["media_ref"].to_pylist() == ["m1", "m1", "m2"]
+        assert out["offset"].to_pylist() == [1, 3, 0]
+
+
 class TestLineDedup:
     def _serial(self, rows):
         seen, out = set(), []
