@@ -828,6 +828,29 @@ def q_media_refs(sf_dir: str):
             .map_batches(explode_media_refs_batch, batch_format="pyarrow"))
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Frequent tokens of the document corpus via the mergeable
+    Misra-Gries sketch (stages/sketches.py:heavy_hitters): per-block
+    summaries bounded at k rows regardless of vocabulary, one fat-bucket
+    candidate exchange, guaranteed recall of every token above the
+    frequency threshold with true count in [est, est+err].  Rows-only:
+    est values depend on block partitioning by construction (the exact
+    counterpart is SQL-checked as token_counts)."""
+    from spidey_ray.stages.sketches import heavy_hitters
+    from spidey_ray.stages.textstats import tokens_of
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = []
+        for txt in t["text"].to_pylist():
+            toks.extend(tokens_of(txt or ""))
+        return pa.table({"item": pa.array(toks, type=pa.string())})
+
+    ds = (_read(sf_dir, "documents", ["text"])
+          .map_batches(explode, batch_format="pyarrow"))
+    out = heavy_hitters(ds, "item", k=128, threshold_frac=0.001)
+    return out.head(200)
+
+
 def q_stratified_sample(sf_dir: str):
     """Content-deterministic stratified sampling of orders by status
     (md5-rank thresholds — bit-reproducible in any engine, which is why
@@ -1549,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the rest are rows-only, covered by pytest ---
         "span_stats": q_span_stats,
         "media_refs": q_media_refs,
+        "heavy_hitters": q_heavy_hitters,
         "curation_pipeline": q_curation_pipeline,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,

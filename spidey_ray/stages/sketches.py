@@ -123,6 +123,95 @@ def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 14) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: mergeable frequent-items summaries
+# ---------------------------------------------------------------------------
+# Misra & Gries '82; mergeability per Agarwal et al., "Mergeable
+# Summaries" (PODS'12): an MG summary of size k admits merge-by-sum
+# followed by subtracting the (k+1)-th largest counter, preserving the
+# undercount bound Σ subs ≤ N/(k+1).  Scale shape: each block emits at
+# most k summary rows (bounded regardless of vocabulary — the property
+# exact token counting lacks), candidates merge in ONE fat-bucket
+# exchange of ≤ blocks·k tiny rows, and only items that can possibly
+# clear the requested frequency threshold reach the driver.
+
+
+def mg_partial_batch(batch: pa.Table, col: str, k: int = 256) -> pa.Table:
+    """Per-block Misra-Gries summary: exact block counts truncated to the
+    top k with the (k+1)-th count subtracted (the MG decrement applied in
+    one shot).  Emits (item, est) rows plus block_n / block_sub carried
+    on the first row only — their global sums give N and the exact total
+    undercount bound E ≤ N/(k+1)."""
+    empty = {
+        "item": pa.array([], type=pa.string()),
+        "est": pa.array([], type=pa.int64()),
+        "block_n": pa.array([], type=pa.int64()),
+        "block_sub": pa.array([], type=pa.int64()),
+    }
+    if not len(batch):
+        return pa.table(empty)
+    vc = batch.select([col]).to_pandas()[col].astype(str).value_counts()
+    n = int(vc.sum())
+    sub = 0
+    if len(vc) > k:
+        sub = int(vc.iloc[k])
+        vc = vc.iloc[:k] - sub
+        vc = vc[vc > 0]
+    first = np.zeros(len(vc), dtype=np.int64)
+    aux_n, aux_sub = first.copy(), first.copy()
+    if len(vc):
+        aux_n[0], aux_sub[0] = n, sub
+    return pa.table({
+        "item": pa.array(vc.index.to_numpy(dtype=object), type=pa.string()),
+        "est": pa.array(vc.to_numpy(np.int64)),
+        "block_n": pa.array(aux_n),
+        "block_sub": pa.array(aux_sub),
+    })
+
+
+def heavy_hitters(ds: "ray.data.Dataset", col: str, k: int = 256,
+                  threshold_frac: float | None = None,
+                  num_buckets: int = 64) -> pd.DataFrame:
+    """Approximate frequent items of ``col``: returns (item, est, err)
+    sorted by est desc, where the TRUE count lies in [est, est + err]
+    and err = Σ per-block subtractions ≤ N/(k+1).  Every item with true
+    frequency > threshold_frac·N is guaranteed present when
+    ``threshold_frac`` > 1/(k+1) (est ≥ φN − E is kept).  With
+    ``threshold_frac=None`` all surviving candidates are returned."""
+    parts = ds.map_batches(
+        mg_partial_batch, fn_kwargs={"col": col, "k": k},
+        batch_format="pyarrow",
+    ).materialize()                  # summary rows only: ≤ k per block
+    n_total = int(parts.sum("block_n") or 0)
+    err = int(parts.sum("block_sub") or 0)
+    if n_total == 0:
+        return pd.DataFrame({"item": [], "est": [], "err": []})
+    keep_min = 1
+    if threshold_frac is not None:
+        keep_min = max(1, int(np.ceil(threshold_frac * n_total)) - err)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t["item"].to_pandas(), index=False, hash_key=_HASH_KEY,
+            categorize=False)
+        return t.append_column(
+            "_bucket", pa.array((h % num_buckets).astype("int32").values))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("item", sort=False)["est"].sum().reset_index()
+        return out[out["est"] >= keep_min]
+
+    cand = (
+        parts.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()                 # ≤ N/keep_min candidates — small
+    )
+    cand["err"] = err
+    return (cand.sort_values(["est", "item"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # t-digest: mergeable approximate quantiles
 # ---------------------------------------------------------------------------
 # Dunning & Ertl, "Computing Extremely Accurate Quantiles Using t-Digests"

@@ -1246,6 +1246,53 @@ class TestDuplicateSpans:
         pd.testing.assert_frame_equal(bc, jn)
 
 
+class TestHeavyHitters:
+    def _zipf_table(self, n=60_000, seed=7):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        # zipf-ish over ~2k items with a genuinely heavy head
+        vals = rng.zipf(1.3, size=n) % 2000
+        return pd.DataFrame({"item": np.char.add("w", vals.astype(str))})
+
+    def test_guarantee_and_bounds(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.sketches import heavy_hitters
+
+        df = self._zipf_table()
+        exact = df["item"].value_counts()
+        n = len(df)
+        k, phi = 64, 0.01
+        ds = ray.data.from_pandas(df).repartition(16)
+        out = heavy_hitters(ds, "item", k=k, threshold_frac=phi)
+        got = dict(zip(out["item"], out["est"]))
+        err = int(out["err"].iloc[0]) if len(out) else 0
+        assert err <= n // (k + 1)
+        # recall: every true heavy hitter above the threshold is present
+        for item, true in exact.items():
+            if true > phi * n:
+                assert item in got, (item, true)
+        # soundness: true count in [est, est + err] for every return
+        for item, est in got.items():
+            true = int(exact.get(item, 0))
+            assert est <= true <= est + err, (item, est, true, err)
+
+    def test_exact_when_under_k(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from spidey_ray.stages.sketches import heavy_hitters
+
+        df = pd.DataFrame({"item": ["a"] * 5 + ["b"] * 3 + ["c"] * 2})
+        out = heavy_hitters(ray.data.from_pandas(df).repartition(3),
+                            "item", k=16)
+        assert int(out["err"].iloc[0]) == 0
+        assert dict(zip(out["item"], out["est"])) == {"a": 5, "b": 3, "c": 2}
+        assert list(out["item"]) == ["a", "b", "c"]   # est desc
+
+
 class TestTDigest:
     def test_rank_accuracy_heavy_tail(self):
         from spidey_ray.stages.sketches import TDigest
