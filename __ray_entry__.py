@@ -836,18 +836,22 @@ def q_heavy_hitters(sf_dir: str):
     frequency threshold with true count in [est, est+err].  Rows-only:
     est values depend on block partitioning by construction (the exact
     counterpart is SQL-checked as token_counts)."""
-    from spidey_ray.stages.sketches import heavy_hitters
+    from spidey_ray.stages.sketches import heavy_hitters, mg_summary_from_counts
     from spidey_ray.stages.textstats import tokens_of
 
-    def explode(t: pa.Table) -> pa.Table:
-        toks = []
+    def tokenize_and_summarize(t: pa.Table) -> pa.Table:
+        # counting fused into the batch fn — the token stream never
+        # exists as rows; each block ships ≤ k summary rows
+        from collections import Counter
+        c: Counter = Counter()
         for txt in t["text"].to_pylist():
-            toks.extend(tokens_of(txt or ""))
-        return pa.table({"item": pa.array(toks, type=pa.string())})
+            c.update(tokens_of(txt or ""))
+        vc = pd.Series(c, dtype="int64").sort_values(ascending=False)
+        return mg_summary_from_counts(vc, k=128)
 
-    ds = (_read(sf_dir, "documents", ["text"])
-          .map_batches(explode, batch_format="pyarrow"))
-    out = heavy_hitters(ds, "item", k=128, threshold_frac=0.001)
+    parts = (_read(sf_dir, "documents", ["text"])
+             .map_batches(tokenize_and_summarize, batch_format="pyarrow"))
+    out = heavy_hitters(None, k=128, threshold_frac=0.001, partials=parts)
     return out.head(200)
 
 

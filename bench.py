@@ -84,7 +84,8 @@ def run_queries(sf_dir: str) -> dict:
         "token_counts", "longest_docs", "tfidf", "exact_dedup",
         "events_hourly", "embedding_topk", "minhash_dedup", "simhash_pairs",
         "lang_id", "approx_distinct", "sessionize", "asof_join",
-        "curation_pipeline",
+        "curation_pipeline", "gopher_quality", "span_stats",
+        "heavy_hitters",
     ]
     qs = entry.queries()
     out = {}

@@ -135,31 +135,30 @@ def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 14) -> int:
 # clear the requested frequency threshold reach the driver.
 
 
-def mg_partial_batch(batch: pa.Table, col: str, k: int = 256) -> pa.Table:
-    """Per-block Misra-Gries summary: exact block counts truncated to the
-    top k with the (k+1)-th count subtracted (the MG decrement applied in
-    one shot).  Emits (item, est) rows plus block_n / block_sub carried
-    on the first row only — their global sums give N and the exact total
-    undercount bound E ≤ N/(k+1)."""
-    empty = {
-        "item": pa.array([], type=pa.string()),
-        "est": pa.array([], type=pa.int64()),
-        "block_n": pa.array([], type=pa.int64()),
-        "block_sub": pa.array([], type=pa.int64()),
-    }
-    if not len(batch):
-        return pa.table(empty)
-    vc = batch.select([col]).to_pandas()[col].astype(str).value_counts()
+def mg_summary_from_counts(vc: pd.Series, k: int = 256) -> pa.Table:
+    """EXACT per-block counts (``value_counts``-shaped, sorted desc) →
+    Misra-Gries summary: the top k with the (k+1)-th count subtracted
+    (the MG decrement applied in one shot).  Emits (item, est) rows plus
+    block_n / block_sub carried on the first row only — their global
+    sums give N and the exact total undercount bound E ≤ N/(k+1).
+    Exposed so pipelines can FUSE counting into their own batch fn (e.g.
+    tokenize-and-count) instead of exploding values to rows first."""
+    if not len(vc):
+        return pa.table({
+            "item": pa.array([], type=pa.string()),
+            "est": pa.array([], type=pa.int64()),
+            "block_n": pa.array([], type=pa.int64()),
+            "block_sub": pa.array([], type=pa.int64()),
+        })
     n = int(vc.sum())
     sub = 0
     if len(vc) > k:
         sub = int(vc.iloc[k])
         vc = vc.iloc[:k] - sub
         vc = vc[vc > 0]
-    first = np.zeros(len(vc), dtype=np.int64)
-    aux_n, aux_sub = first.copy(), first.copy()
-    if len(vc):
-        aux_n[0], aux_sub[0] = n, sub
+    aux_n = np.zeros(len(vc), dtype=np.int64)
+    aux_sub = aux_n.copy()
+    aux_n[0], aux_sub[0] = n, sub
     return pa.table({
         "item": pa.array(vc.index.to_numpy(dtype=object), type=pa.string()),
         "est": pa.array(vc.to_numpy(np.int64)),
@@ -168,19 +167,31 @@ def mg_partial_batch(batch: pa.Table, col: str, k: int = 256) -> pa.Table:
     })
 
 
-def heavy_hitters(ds: "ray.data.Dataset", col: str, k: int = 256,
+def mg_partial_batch(batch: pa.Table, col: str, k: int = 256) -> pa.Table:
+    """Per-block Misra-Gries summary over a value column."""
+    if not len(batch):
+        return mg_summary_from_counts(pd.Series([], dtype=object), k)
+    return mg_summary_from_counts(
+        batch.select([col]).to_pandas()[col].astype(str).value_counts(), k)
+
+
+def heavy_hitters(ds: "ray.data.Dataset", col: str = "item", k: int = 256,
                   threshold_frac: float | None = None,
-                  num_buckets: int = 64) -> pd.DataFrame:
+                  num_buckets: int = 64, *,
+                  partials: "ray.data.Dataset | None" = None) -> pd.DataFrame:
     """Approximate frequent items of ``col``: returns (item, est, err)
     sorted by est desc, where the TRUE count lies in [est, est + err]
     and err = Σ per-block subtractions ≤ N/(k+1).  Every item with true
     frequency > threshold_frac·N is guaranteed present when
     ``threshold_frac`` > 1/(k+1) (est ≥ φN − E is kept).  With
-    ``threshold_frac=None`` all surviving candidates are returned."""
-    parts = ds.map_batches(
+    ``threshold_frac=None`` all surviving candidates are returned.
+    Pass ``partials`` (rows from ``mg_summary_from_counts``) to fuse the
+    counting into an upstream batch fn and skip the value explode."""
+    parts = partials if partials is not None else ds.map_batches(
         mg_partial_batch, fn_kwargs={"col": col, "k": k},
         batch_format="pyarrow",
-    ).materialize()                  # summary rows only: ≤ k per block
+    )
+    parts = parts.materialize()      # summary rows only: ≤ k per block
     n_total = int(parts.sum("block_n") or 0)
     err = int(parts.sum("block_sub") or 0)
     if n_total == 0:
