@@ -102,10 +102,40 @@ def build_backoff_model(counts: "ray.data.Dataset",
             "T": float(sum(uni.values()))}
 
 
+_MODEL_CACHE: dict = {}
+
+
+def get_broadcast_model(ref) -> dict:
+    """Per-worker one-slot memo around ``ray.get`` of the broadcast model:
+    dict payloads are re-DESERIALIZED on every ``ray.get`` (unlike numpy
+    buffers, which map zero-copy), so a map task that fetches the model
+    per batch pays the full unpickle each time on a large model.  Workers
+    are reused across tasks; keying on the ref keeps one live model per
+    worker process."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if _MODEL_CACHE.get("key") != key:
+        _MODEL_CACHE["key"] = key
+        _MODEL_CACHE["val"] = ray.get(ref)
+    return _MODEL_CACHE["val"]
+
+
+def _micro_cascade(n3, nctx, n2, n1b, n1w, T) -> np.ndarray:
+    """The per-position backoff cascade, float64-exact and shared by the
+    per-doc and batch scorers (identical ops → identical integers):
+    p = tri/bigctx | α·(big/uni_b) | α²·(uni_w/T) | α²·(1/T)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p3 = n3 / nctx
+        p2 = ALPHA * (n2 / n1b)
+        p1 = np.where(n1w > 0, ALPHA2 * (n1w / T),
+                      ALPHA2 * (1.0 / T))
+        p = np.where((n3 > 0) & (nctx > 0), p3,
+                     np.where((n2 > 0) & (n1b > 0), p2, p1))
+        return np.floor(np.log10(p) * 1e6 + 0.5).astype(np.int64)
+
+
 def score_logprob_micro(toks: list[str], model: dict) -> tuple[int, int]:
     """(n_scored, Σ floor(log10(p_i)·1e6 + 0.5)) over positions i ≥ 2
-    (full trigram context), stupid backoff:
-    p = tri/bigctx | α·(big/uni_b) | α²·(uni_w/T) | α²·(1/T)."""
+    (full trigram context), stupid backoff — see :func:`_micro_cascade`."""
     n = len(toks)
     if n < 3:
         return 0, 0
@@ -126,15 +156,55 @@ def score_logprob_micro(toks: list[str], model: dict) -> tuple[int, int]:
     n1w = np.fromiter(
         (uni.get(toks[i + 2], 0) for i in range(m)),
         dtype=np.float64, count=m)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        p3 = n3 / nctx
-        p2 = ALPHA * (n2 / n1b)
-        p1 = np.where(n1w > 0, ALPHA2 * (n1w / T),
-                      ALPHA2 * (1.0 / T))
-        p = np.where((n3 > 0) & (nctx > 0), p3,
-                     np.where((n2 > 0) & (n1b > 0), p2, p1))
-        micro = np.floor(np.log10(p) * 1e6 + 0.5).astype(np.int64)
+    micro = _micro_cascade(n3, nctx, n2, n1b, n1w, T)
     return m, int(micro.sum())
+
+
+def score_batch_micro(texts: list, model: dict
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Batch scorer: (n_scored, micro_sum) int64 arrays aligned to
+    ``texts``, byte-identical to calling :func:`score_logprob_micro` per
+    doc.  All positions of all docs are keyed once and probed with ONE
+    pandas hash-map pass per n-gram level (the per-token Python overhead
+    of a doc-at-a-time loop is the hottest cost of the curation LM gate),
+    then the shared cascade runs over the concatenation and per-doc sums
+    fall out of ``np.add.reduceat`` — integer sums, order-invariant."""
+    uni, big, tri, T = model["uni"], model["big"], model["tri"], model["T"]
+    toks_per = [tokens_of(t or "") for t in texts]
+    ms = np.array([max(0, len(t) - 2) for t in toks_per], dtype=np.int64)
+    total = int(ms.sum())
+    sums = np.zeros(len(texts), dtype=np.int64)
+    if total == 0:
+        return ms, sums
+    k3: list[str] = []
+    kctx: list[str] = []
+    k2: list[str] = []
+    k1b: list[str] = []
+    k1w: list[str] = []
+    for toks in toks_per:
+        if len(toks) < 3:
+            continue
+        k3.extend(map(" ".join, zip(toks, toks[1:], toks[2:])))
+        kctx.extend(map(" ".join, zip(toks[:-2], toks[1:-1])))
+        k2.extend(map(" ".join, zip(toks[1:], toks[2:])))
+        k1b.extend(toks[1:-1])
+        k1w.extend(toks[2:])
+
+    def probe(keys: list[str], table: dict) -> np.ndarray:
+        # factorize first: one C hash pass over the batch, then probe
+        # only the DISTINCT keys (unigram/bigram streams repeat heavily)
+        codes, uniq = pd.factorize(np.asarray(keys, dtype=object),
+                                   sort=False)
+        vals = np.fromiter((table.get(k, 0) for k in uniq),
+                           dtype=np.float64, count=len(uniq))
+        return vals[codes]
+
+    micro = _micro_cascade(probe(k3, tri), probe(kctx, big), probe(k2, big),
+                           probe(k1b, uni), probe(k1w, uni), T)
+    scored = ms > 0
+    starts = np.concatenate(([0], np.cumsum(ms[scored])[:-1]))
+    sums[scored] = np.add.reduceat(micro, starts)
+    return ms, sums
 
 
 def lm_perplexity(score_ds: "ray.data.Dataset",
@@ -151,19 +221,14 @@ def lm_perplexity(score_ds: "ray.data.Dataset",
     model_ref = ray.put(model)
 
     def score(batch: pa.Table) -> pa.Table:
-        mdl = ray.get(model_ref)
-        ids, ns, sums = [], [], []
-        for did, txt in zip(batch[id_col].to_pylist(),
-                            batch[text_col].to_pylist()):
-            m, s = score_logprob_micro(tokens_of(txt or ""), mdl)
-            if m:
-                ids.append(did)
-                ns.append(m)
-                sums.append(s)
+        mdl = get_broadcast_model(model_ref)
+        ns, sums = score_batch_micro(batch[text_col].to_pylist(), mdl)
+        keep = ns > 0
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
         return pa.table({
             id_col: pa.array(ids, type=pa.int64()),
-            "n_scored": pa.array(ns, type=pa.int64()),
-            "sum_log10p_micro": pa.array(sums, type=pa.int64()),
+            "n_scored": pa.array(ns[keep], type=pa.int64()),
+            "sum_log10p_micro": pa.array(sums[keep], type=pa.int64()),
         })
 
     return score_ds.map_batches(score, batch_format="pyarrow")

@@ -215,6 +215,7 @@ def strip_repeated_lines_batch(batch: pa.Table, text_col: str = "text",
 
 
 def gopher_repetition_batch(batch: pa.Table, text_col: str = "text",
+                            id_col: str = "doc_id",
                             line_tokens: int = 10) -> pa.Table:
     """Gopher-style repetition quality signals (Rae et al. 2021, table A1),
     per document, as INTEGER basis points (× 10,000, floor-divided) so the
@@ -230,7 +231,7 @@ def gopher_repetition_batch(batch: pa.Table, text_col: str = "text",
     Pure map over the corpus — stream-safe at any scale."""
     from collections import Counter
 
-    ids = batch["doc_id"].to_pylist()
+    ids = batch[id_col].to_pylist()
     d_line, t2, d5 = [], [], []
     for t in batch[text_col].to_pylist():
         toks = tokens_of(t)
@@ -252,7 +253,7 @@ def gopher_repetition_batch(batch: pa.Table, text_col: str = "text",
         else:
             d5.append(0)
     return pa.table({
-        "doc_id": pa.array(ids, type=pa.int64()),
+        id_col: pa.array(ids, type=pa.int64()),
         "dup_line_bp": pa.array(d_line, type=pa.int64()),
         "top_2gram_bp": pa.array(t2, type=pa.int64()),
         "dup_5gram_bp": pa.array(d5, type=pa.int64()),
@@ -265,6 +266,7 @@ _ELLIPSIS_SUFFIXES = ("...", "…")
 
 
 def gopher_quality_batch(batch: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id",
                          min_words: int = 50,
                          max_words: int = 100_000) -> pa.Table:
     """Gopher quality-filter signals (Rae et al. 2021, table A1) — the
@@ -285,7 +287,7 @@ def gopher_quality_batch(batch: pa.Table, text_col: str = "text",
     - ``n_stop_hits``: distinct hits among 8 required stop words, >= 2.
 
     ``gopher_pass`` is the conjunction.  Pure map — stream-safe."""
-    ids = batch["doc_id"].to_pylist()
+    ids = batch[id_col].to_pylist()
     nw, nwc, nsym, nl, nbul, nell, nalpha, nstop, ok = (
         [], [], [], [], [], [], [], [], [])
     alpha_re = re.compile(r"[A-Za-z]")
@@ -320,7 +322,7 @@ def gopher_quality_batch(batch: pa.Table, text_col: str = "text",
             and stop >= 2)
     i64 = lambda v: pa.array(v, type=pa.int64())  # noqa: E731
     return pa.table({
-        "doc_id": pa.array(ids, type=pa.int64()),
+        id_col: pa.array(ids, type=pa.int64()),
         "n_words": i64(nw), "n_word_chars": i64(nwc),
         "n_symbols": i64(nsym), "n_lines": i64(nl),
         "n_bullet_lines": i64(nbul), "n_ellipsis_lines": i64(nell),

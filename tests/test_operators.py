@@ -906,6 +906,7 @@ class TestCurationPipeline:
                  for d, t, g in self.DOCS]),
             meta_cols=["lang"],
             lm_train_mod=2,
+            lm_min_count=1,  # 2-doc train slice: every trigram is a singleton
             lm_min_micro_per_token=-1_000_000,
             mix_key="lang", mix_shares={"x": 0.5, "y": 0.5},
         ).to_pandas().set_index("doc_id").sort_index()
@@ -915,6 +916,151 @@ class TestCurationPipeline:
         assert out.loc[0, "text"] == self.DOCS[0][1]
         # C4 victim loses its unpunctuated line before dying on min_lines
         assert "no terminal punctuation" not in " ".join(out["text"])
+
+
+class TestCurationSingleExecution:
+    """The physical-plan contract of curate(): the expensive per-doc
+    chain executes exactly ONCE even though four downstream consumers
+    (LM train slice, MinHash banding, dedup survivor filter, mix) each
+    re-consume it — the pre-fix plan re-ran clean ~4× and the LM gate
+    3×.  Instrumented by monkeypatching the stage fns (cloudpickle
+    captures the wrapper by value, so workers run it) with a wrapper
+    that drops one marker file per call on the shared single-node fs."""
+
+    N = 40
+
+    @staticmethod
+    def _docs():
+        import ray.data
+
+        sents = [
+            "the quiet river moves past the old stone mill tonight.",
+            "fresh rain falls gently over the wide green valley floor.",
+            "a small red boat drifts along the calm northern shore.",
+            "the evening train carries apples toward the harbor town.",
+        ]
+        rows = [{"doc_id": i,
+                 "text": "\n".join(f"{s[:-1]} number {i} part {j}."
+                                   for j, s in enumerate(sents))}
+                for i in range(TestCurationSingleExecution.N)]
+        return ray.data.from_items(rows).repartition(4)
+
+    def test_clean_and_lm_each_run_once(self, ray_session, tmp_path,
+                                        monkeypatch):
+        import os
+
+        import spidey_ray.pipelines.curation as cur
+        from spidey_ray.stages.lm import score_batch_micro as real_score
+        from spidey_ray.stages.textstats import (
+            strip_repeated_lines_batch as real_strip)
+
+        cdir = str(tmp_path / "clean_calls")
+        ldir = str(tmp_path / "lm_calls")
+        os.makedirs(cdir)
+        os.makedirs(ldir)
+
+        def counting_strip(batch, **kw):
+            import os
+            import uuid
+
+            open(os.path.join(cdir, f"{uuid.uuid4().hex}-{len(batch)}"),
+                 "w").close()
+            return real_strip(batch, **kw)
+
+        def counting_score(texts, model):
+            import os
+            import uuid
+
+            open(os.path.join(ldir, f"{uuid.uuid4().hex}-{len(texts)}"),
+                 "w").close()
+            return real_score(texts, model)
+
+        monkeypatch.setattr(cur, "strip_repeated_lines_batch",
+                            counting_strip)
+        monkeypatch.setattr(cur, "score_batch_micro", counting_score)
+
+        out = cur.curate(self._docs(), lm_min_count=1,
+                         lm_min_micro_per_token=-10_000_000)
+        got = out.to_pandas()
+        assert len(got) == self.N  # every doc passes every gate
+
+        def rows_seen(d):
+            return sum(int(f.rsplit("-", 1)[1]) for f in os.listdir(d))
+
+        # clean saw the corpus exactly once; the LM gate scored exactly
+        # the clean survivors (== corpus here) exactly once
+        assert rows_seen(cdir) == self.N
+        assert rows_seen(ldir) == self.N
+        # re-consuming the result reads persisted blocks, not lineage
+        out.to_pandas()
+        assert rows_seen(cdir) == self.N
+        assert rows_seen(ldir) == self.N
+
+    def test_checkpoint_dir_persists_to_disk(self, ray_session, tmp_path):
+        import os
+
+        from spidey_ray.pipelines.curation import curate
+
+        out = curate(self._docs(), lm_min_count=1,
+                     lm_min_micro_per_token=-10_000_000,
+                     checkpoint_dir=str(tmp_path / "ckpt")).to_pandas()
+        assert len(out) == self.N
+        assert os.path.isdir(tmp_path / "ckpt" / "cleaned")
+        assert os.path.isdir(tmp_path / "ckpt" / "gated")
+
+
+class TestLmModelBound:
+    def test_min_count_prunes_the_tail(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.lm import (build_backoff_model,
+                                          ngram_count_rows)
+
+        # head: one sentence repeated 10x; tail: 200 singleton-trigram docs
+        rows = [{"doc_id": i, "text": "the cat sat on the mat"}
+                for i in range(10)]
+        rows += [{"doc_id": 100 + i,
+                  "text": f"uniq{i}a uniq{i}b uniq{i}c uniq{i}d"}
+                 for i in range(200)]
+        counts = ngram_count_rows(
+            ray.data.from_items(rows).repartition(4))
+        full = build_backoff_model(counts, min_count=1)
+        pruned = build_backoff_model(counts, min_count=2)
+        # the long tail is gone from the broadcast payload...
+        assert all(n >= 2 for n in pruned["big"].values())
+        assert all(n >= 2 for n in pruned["tri"].values())
+        assert len(pruned["tri"]) == 4      # head trigrams only
+        assert len(full["tri"]) == 4 + 200 * 2
+        # ...while unigrams (the backstop level) and T are untouched
+        assert pruned["uni"] == full["uni"]
+        assert pruned["T"] == full["T"]
+
+
+class TestScoreBatchMicro:
+    def test_matches_per_doc_scorer(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.lm import (build_backoff_model,
+                                          ngram_count_rows,
+                                          score_batch_micro,
+                                          score_logprob_micro)
+        from spidey_ray.stages.textstats import tokens_of
+
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = ["", "one", "one two",
+                 "zz yy xx unseen tokens only here now"]
+        texts += [" ".join(rng.choice(vocab, int(rng.integers(3, 60))))
+                  for _ in range(60)]
+        train = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts[4:30])])
+        for mc in (1, 2):
+            model = build_backoff_model(ngram_count_rows(train),
+                                        min_count=mc)
+            ns, sums = score_batch_micro(texts, model)
+            for i, t in enumerate(texts):
+                m, s = score_logprob_micro(tokens_of(t), model)
+                assert (ns[i], sums[i]) == (m, s), (mc, i, t)
 
 
 class TestDomainMix:
