@@ -1545,9 +1545,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "quality_stop_ratio": q_quality_stop_ratio,
         # URL ops
-        "url_canonicalize": q_url_canonicalize,
-        "url_query_sort": q_url_query_sort,
         "url_valid_filter": q_url_valid_filter,
+        # interleaved-span analytics (SQL-checked; rotated INTO the window
+        # round 5 in place of url_canonicalize/url_query_sort, both pure
+        # urltools maps already pytest-covered and SQL-validated in r04)
+        "span_stats": q_span_stats,
+        "media_refs": q_media_refs,
         # embeddings
         "embedding_topk": q_embedding_topk,
         "filtered_ann": q_filtered_ann,
@@ -1570,12 +1573,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_repeated_lines": q_strip_repeated_lines,
         "gopher_quality": q_gopher_quality,
         # --- entries past the driver's 50-slot verdict window.  The 50
-        # slots above this line are ALL SQL-oracle entries; span_stats /
-        # media_refs below ALSO carry full SQL oracles (validated by
-        # tools/check_entry.py, which checks oracles at any position);
-        # the rest are rows-only, covered by pytest ---
-        "span_stats": q_span_stats,
-        "media_refs": q_media_refs,
+        # slots above this line are ALL SQL-oracle entries;
+        # url_canonicalize / url_query_sort below ALSO carry full SQL
+        # oracles (validated by tools/check_entry.py, which checks oracles
+        # at any position, and green in CORRECTNESS_r04); the rest are
+        # rows-only, covered by pytest ---
+        "url_canonicalize": q_url_canonicalize,
+        "url_query_sort": q_url_query_sort,
         "heavy_hitters": q_heavy_hitters,
         "curation_pipeline": q_curation_pipeline,
         "minhash_dedup": q_minhash_dedup,
