@@ -264,23 +264,48 @@ class _RowGroupIndex:
                 stats.append((st.min, st.max)
                              if st is not None and st.has_min_max else None)
             self.files.append((pf, stats))
-        # parquet reads release the GIL; a small pool turns N matched-file
-        # reads (~0.25 ms each, dozens when the writer emitted many small
-        # blocks) into ~max(N/8) wall — the remaining cold-latency term
-        from concurrent.futures import ThreadPoolExecutor
+        # parquet reads release the GIL; a small SHARED pool (one per
+        # process, not per instance — replicas and test loops construct
+        # many indexes) turns N matched-file reads (~0.25 ms each, dozens
+        # when the writer emitted many small blocks) into ~max(N/8) wall —
+        # the remaining cold-latency term
+        self._pool = _shared_read_pool()
+        self._closed = False
 
-        self._pool = ThreadPoolExecutor(max_workers=8)
+    def close(self) -> None:
+        """Release the parquet file handles (the shared pool stays up —
+        it is process-owned).  Idempotent."""
+        if self._closed:
+            return
+        self._closed = True
+        for pf, _ in self.files:
+            try:
+                pf.close()
+            except Exception:
+                pass
+        self.files = []
 
     def read(self, keys, columns: list[str]) -> pa.Table:
         """Concat of the row groups whose [min,max] covers any key, in file
         order (row order within a file is preserved, so within-stem posting
         order survives exactly as with the dataset scan).  Row groups with
-        missing statistics are conservatively read."""
+        missing statistics are conservatively read.  Matching bisects the
+        sorted key list against each row group's [min,max] — O(row_groups
+        × log keys), not O(row_groups × keys) (a cold doc_meta read can
+        carry hundreds of ids)."""
+        from bisect import bisect_left
+
         keys = sorted(keys)
         matched = []
         for pf, stats in self.files:
-            rgs = [i for i, mm in enumerate(stats)
-                   if mm is None or any(mm[0] <= k <= mm[1] for k in keys)]
+            rgs = []
+            for i, mm in enumerate(stats):
+                if mm is None:
+                    rgs.append(i)
+                    continue
+                j = bisect_left(keys, mm[0])
+                if j < len(keys) and keys[j] <= mm[1]:
+                    rgs.append(i)
             if rgs:
                 matched.append((pf, rgs))
         if not matched:
@@ -292,6 +317,18 @@ class _RowGroupIndex:
             lambda fr: fr[0].read_row_groups(fr[1], columns=columns),
             matched))
         return pa.concat_tables(tabs)
+
+
+_READ_POOL = None
+
+
+def _shared_read_pool():
+    global _READ_POOL
+    if _READ_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _READ_POOL = ThreadPoolExecutor(max_workers=8)
+    return _READ_POOL
 
 
 class PartitionedQueryIndex(QueryIndex):
@@ -327,6 +364,12 @@ class PartitionedQueryIndex(QueryIndex):
         self._stem_cache_size = stem_cache_size
         self._doc_cache: dict[int, tuple[str, str, int]] = {}
         self._doc_cache_size = doc_cache_size
+
+    def close(self) -> None:
+        """Release both footer indexes' parquet handles (test loops build
+        many instances; fds would otherwise accumulate)."""
+        self._postings.close()
+        self._meta.close()
 
     def _doc_info_retrieve(self, text: str, use_bigram: bool) -> dict[str, list]:
         from ..stages.index_stages import _stem_bucket

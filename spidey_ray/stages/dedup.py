@@ -275,8 +275,10 @@ def strip_duplicate_spans(ds: "ray.data.Dataset", k: int = 8,
     driver on that branch."""
     import ray as _ray
 
+    # materialize once: count() and the branch taken below otherwise each
+    # re-run the full two-exchange duplicate_spans pipeline from lineage
     spans = duplicate_spans(ds, k=k, text_col=text_col, id_col=id_col,
-                            num_buckets=num_buckets)
+                            num_buckets=num_buckets).materialize()
     n_spans = spans.count()
 
     if n_spans <= broadcast_limit:

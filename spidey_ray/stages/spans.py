@@ -44,9 +44,15 @@ def span_stats_batch(batch: pa.Table, spans_col: str = "spans",
     if len(flat):
         is_text = pc.equal(flat.field("kind"), "text").to_numpy(
             zero_copy_only=False)
-        txt_len = pc.utf8_length(flat.field("text")).to_numpy(
+        # fill_null before the weights: a null text/offset field would
+        # put NaN weights through np.bincount (garbage int64 on cast) —
+        # the crawler never emits null span fields, but the operator
+        # shouldn't rely on that contract silently
+        txt_len = pc.utf8_length(
+            pc.fill_null(flat.field("text"), "")).to_numpy(
             zero_copy_only=False)
-        off = flat.field("offset").to_numpy(zero_copy_only=False)
+        off = pc.fill_null(flat.field("offset"), -1).to_numpy(
+            zero_copy_only=False)
         n_text = np.bincount(parent[is_text], minlength=n).astype(np.int64)
         text_chars = np.bincount(
             parent, weights=np.where(is_text, txt_len, 0),
