@@ -69,8 +69,15 @@ def _decode_fake(payload: bytes) -> tuple[int, int, np.ndarray]:
 class MediaDecodeStage:
     """Actor-pool decode: payload → (width, height, mean/std pixel stats).
 
-    With Pillow installed this would decode real images; here the real
-    branch raises so the stub path is unmistakable (task requirement)."""
+    Three codec tiers, probed in payload order:
+
+    - FAKEIMG (deterministic synthetic payloads) — always;
+    - PNG via the pure-stdlib decoder (``functions/png.py``) — always:
+      real pixels with no optional wheel, so the real-pixels branch is
+      exercised in every environment;
+    - anything else via Pillow when ``allow_real_codecs=True`` and the
+      wheel exists; absent Pillow the ctor still refuses loudly so a
+      caller asking for JPEG/WebP/… knows the coverage boundary."""
 
     def __init__(self, allow_real_codecs: bool = False):
         self.real = None
@@ -81,21 +88,31 @@ class MediaDecodeStage:
                 self.real = Image
             except ImportError as e:
                 raise NotImplementedError(
-                    "real image decoding requires Pillow, which is not "
-                    "installed in this environment; use the deterministic "
-                    "FAKEIMG path (allow_real_codecs=False)"
+                    "non-PNG image decoding requires Pillow, which is not "
+                    "installed in this environment; PNG payloads decode "
+                    "via the stdlib codec and FAKEIMG payloads via the "
+                    "deterministic path (allow_real_codecs=False)"
                 ) from e
 
     def _decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
-        if self.real is not None and not payload.startswith(_MAGIC):
-            # real branch (exercised by the `optional` contract tests in an
-            # env with Pillow): grayscale decode of an actual image payload
+        if payload.startswith(_MAGIC):
+            return _decode_fake(payload)
+        from ..functions.png import decode_png, is_png, to_gray
+
+        if is_png(payload):
+            # real pixels, pure stdlib — identical result with or
+            # without Pillow installed
+            px = to_gray(decode_png(payload))
+            return px.shape[1], px.shape[0], px
+        if self.real is not None:
+            # Pillow branch (exercised by the `optional` contract tests
+            # in an env with the wheel): grayscale decode of any format
             import io as _io
 
             img = self.real.open(_io.BytesIO(payload)).convert("L")
             px = np.asarray(img, dtype=np.uint8)
             return img.width, img.height, px
-        return _decode_fake(payload)
+        return _decode_fake(payload)   # raises ValueError with context
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, means, stds = [], [], [], []

@@ -313,6 +313,109 @@ class TestMultimodal:
             MediaDecodeStage(allow_real_codecs=True)
 
 
+class TestPngCodec:
+    """Pure-stdlib PNG codec: every unfilter path round-tripped against
+    vectorized forward-filtered ground truth, plus palette expansion and
+    the loud-refusal contracts."""
+
+    @staticmethod
+    def _img(shape, seed=0):
+        return np.random.default_rng(seed).integers(
+            0, 256, size=shape, dtype=np.uint8)
+
+    def test_roundtrip_every_filter_and_colortype(self):
+        from spidey_ray.functions.png import decode_png, encode_png
+
+        for shape in ((1, 1), (7, 5), (16, 16), (6, 9, 3), (5, 4, 4)):
+            px = self._img(shape, seed=sum(shape))
+            want = px if px.ndim == 3 else px[:, :, None]
+            for f in range(5):
+                got = decode_png(encode_png(px, filters=f))
+                assert got.shape == want.shape, (shape, f)
+                assert (got == want).all(), (shape, f)
+
+    def test_roundtrip_mixed_per_row_filters(self):
+        from spidey_ray.functions.png import decode_png, encode_png
+
+        px = self._img((10, 8, 3), seed=3)
+        filters = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]
+        got = decode_png(encode_png(px, filters=filters))
+        assert (got == px).all()
+
+    def test_gradient_image_paeth(self):
+        # smooth data — the regime paeth/average were designed for
+        from spidey_ray.functions.png import decode_png, encode_png
+
+        y, x = np.mgrid[0:20, 0:30]
+        px = ((y * 7 + x * 3) % 256).astype(np.uint8)
+        for f in (3, 4):
+            assert (decode_png(encode_png(px, filters=f))
+                    == px[:, :, None]).all()
+
+    def test_palette_expands_to_rgb(self):
+        import struct
+        import zlib
+
+        from spidey_ray.functions.png import _SIG, _chunk, decode_png
+
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B
+        idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+        body = b"".join(b"\x00" + row.tobytes() for row in idx)
+        data = (_SIG
+                + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+                + _chunk(b"PLTE", plte)
+                + _chunk(b"IDAT", zlib.compress(body))
+                + _chunk(b"IEND", b""))
+        px = decode_png(data)
+        assert px.shape == (2, 3, 3)
+        assert tuple(px[0, 0]) == (255, 0, 0)
+        assert tuple(px[1, 0]) == (0, 0, 255)
+
+    def test_refusals(self):
+        import struct
+        import zlib
+
+        from spidey_ray.functions.png import (_SIG, _chunk, decode_png,
+                                              encode_png)
+
+        with pytest.raises(ValueError, match="signature"):
+            decode_png(b"JFIF not a png")
+        # 16-bit depth refused loudly
+        body = zlib.compress(b"\x00\x00\x00")
+        deep = (_SIG
+                + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+                + _chunk(b"IDAT", body) + _chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="depth=16"):
+            decode_png(deep)
+        with pytest.raises(ValueError, match="channel"):
+            encode_png(np.zeros((2, 2, 2), dtype=np.uint8))
+
+    def test_to_gray_luma(self):
+        from spidey_ray.functions.png import to_gray
+
+        px = np.zeros((1, 2, 3), dtype=np.uint8)
+        px[0, 0] = (255, 0, 0)
+        px[0, 1] = (10, 20, 30)
+        g = to_gray(px)
+        assert g[0, 0] == 255 * 299 // 1000
+        assert g[0, 1] == (10 * 299 + 20 * 587 + 30 * 114) // 1000
+
+    def test_media_decode_stage_reads_real_png_pixels(self):
+        from spidey_ray.functions.png import encode_png
+        from spidey_ray.stages.multimodal import MediaDecodeStage, dhash64
+
+        px = self._img((6, 9), seed=7)
+        payload = encode_png(px, filters=4)
+        out = MediaDecodeStage()(pa.table({
+            "media_ref": ["png0"], "payload": [payload]}))
+        assert out["width"][0].as_py() == 9
+        assert out["height"][0].as_py() == 6
+        assert out["pix_mean"][0].as_py() == round(float(px.mean()), 4)
+        assert out["pix_std"][0].as_py() == round(float(px.std()), 4)
+        # perceptual hash over REAL decoded pixels is stable
+        assert dhash64(px) == dhash64(px.copy())
+
+
 class TestIngest:
     def test_pages_to_documents_matches_parser(self, ray_session):
         import ray.data
