@@ -80,6 +80,79 @@ class TestCborReal:
         assert _decode(body) == {"ok": 1}
 
 
+class TestTableSeam:
+    """Format-agnostic IO seam: every representative engine schema
+    round-trips through io.write_table / read_table[_arrow] under
+    WHICHEVER format is active — the parquet fallback here, Lance where
+    the wheel exists (same test body exercises the lance branch there,
+    so the first real-cluster run is not that branch's first execution).
+
+    One table per engine surface: interleaved documents (nested
+    list<struct> spans), embeddings (list<float>), media payloads
+    (binary), postings (strings + floats + ints), frontier rows."""
+
+    @staticmethod
+    def _tables() -> dict[str, pa.Table]:
+        span_t = pa.list_(pa.struct([
+            ("kind", pa.string()), ("offset", pa.int64()),
+            ("text", pa.string()), ("media_ref", pa.string())]))
+        return {
+            "documents": pa.table({
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["alpha beta", ""], type=pa.string()),
+                "spans": pa.array(
+                    [[{"kind": "text", "offset": 0, "text": "alpha beta",
+                       "media_ref": None},
+                      {"kind": "media", "offset": 10, "text": None,
+                       "media_ref": "img://a"}], []], type=span_t),
+            }),
+            "embeddings": pa.table({
+                "vec_id": pa.array([7], type=pa.int64()),
+                "embedding": pa.array([[0.5, -1.25, 3.0]],
+                                      type=pa.list_(pa.float32())),
+                "label": pa.array([3], type=pa.int32()),
+            }),
+            "media": pa.table({
+                "media_ref": pa.array(["m0", "m1"], type=pa.string()),
+                "payload": pa.array([synth_payload("m0"), b""],
+                                    type=pa.binary()),
+            }),
+            "postings": pa.table({
+                "stem": pa.array(["run", "jump"], type=pa.string()),
+                "doc_id": pa.array([4, 5], type=pa.int64()),
+                "tfidf": pa.array([1.5, 0.25], type=pa.float64()),
+                "bucket": pa.array([12, 200], type=pa.int32()),
+            }),
+            "frontier": pa.table({
+                "url": pa.array(["https://h0.example.com/p/1"],
+                                type=pa.string()),
+                "url_hash": pa.array(["ab12"], type=pa.string()),
+                "round": pa.array([3], type=pa.int64()),
+            }),
+        }
+
+    def test_arrow_roundtrip_every_schema(self, tmp_path):
+        for name, t in self._tables().items():
+            p = str(tmp_path / name)
+            sio.write_table(t, p)
+            back = sio.read_table_arrow(p)
+            assert back.replace_schema_metadata(None).equals(
+                t.replace_schema_metadata(None)), name
+
+    def test_dataset_roundtrip_and_column_prune(self, ray_session, tmp_path):
+        import ray.data
+
+        for name, t in self._tables().items():
+            p = str(tmp_path / f"ds_{name}")
+            sio.write_table(ray.data.from_arrow(t), p)
+            back = sio.read_table(p).to_pandas()
+            assert len(back) == t.num_rows, name
+            assert set(back.columns) == set(t.column_names), name
+            one = t.column_names[0]
+            pruned = sio.read_table(p, columns=[one]).schema().names
+            assert pruned == [one], name
+
+
 @pytest.mark.optional
 @pytest.mark.skipif(not sio.HAVE_LANCE, reason="lance not installed")
 class TestLanceReal:
