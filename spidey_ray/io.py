@@ -41,6 +41,22 @@ def strip_schema_metadata(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None)
 
 
+def pd_to_arrow(df) -> "pa.Table":
+    """pandas → Arrow with the pandas schema metadata stripped.
+
+    Stages that return DataFrames into a downstream shuffle otherwise
+    hand Ray blocks whose schema carries the pandas metadata dict —
+    unhashable on pyarrow 16, which floods the shuffle merge/reduce
+    tasks with Ray's schema-hash warning and defeats ``unify_schemas``'
+    set() fast path.  Empty frames are returned unchanged: their object
+    columns would convert to null-type columns, which is worse than the
+    metadata (Ray's own conversion handles them as today)."""
+    if not len(df):
+        return df
+    return pa.Table.from_pandas(
+        df, preserve_index=False).replace_schema_metadata(None)
+
+
 def write_table(ds: "ray.data.Dataset | pa.Table", path: str) -> None:
     """Write a Dataset (streaming, one file per block) or small pa.Table
     atomically to ``path`` (a directory). Existing data is replaced."""

@@ -22,6 +22,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ..io import pd_to_arrow
+
 from ..functions.simhash import (hamming_popcount, simhash64, token_hash64,
                                  token_hash64_cached)
 from .textstats import tokens_of
@@ -540,19 +542,20 @@ def banded_pairs(rows: "ray.data.Dataset", key_cols: list[str],
                 h = _mix64(h ^ hc)
         df = df.copy()
         df["_bb"] = (h % np.uint64(num_buckets)).astype(np.int32)
-        return df
+        return pd_to_arrow(df)
 
     fn = group_fn or (lambda sub: _bucket_pairs_ids(sub, max_bucket))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame):
         g = g.drop(columns=["_bb"])
         sizes = g.groupby(key_cols, sort=False)[id_col].transform("size")
         g = g[sizes >= 2]
         if g.empty:
             return fn(g)
-        return pd.concat([fn(sub) for _, sub in g.groupby(key_cols,
-                                                          sort=False)],
-                         ignore_index=True)
+        return pd_to_arrow(
+            pd.concat([fn(sub) for _, sub in g.groupby(key_cols,
+                                                       sort=False)],
+                      ignore_index=True))
 
     return (rows.map_batches(bucket, batch_format="pandas")
             .groupby("_bb").map_groups(per_bucket, batch_format="pandas"))
@@ -579,8 +582,9 @@ def dedup_pairs(pairs: "ray.data.Dataset",
     identical in every column (same pair ⇒ same attrs), so first-wins is
     deterministic."""
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["_pb"])
+    def per_bucket(g: pd.DataFrame):
+        return pd_to_arrow(
+            g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["_pb"]))
 
     return (
         pairs.map_batches(_pair_bucket_col,

@@ -207,9 +207,17 @@ def heavy_hitters(ds: "ray.data.Dataset", col: str = "item", k: int = 256,
         return t.append_column(
             "_bucket", pa.array((h % num_buckets).astype("int32").values))
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(g: pd.DataFrame) -> pa.Table:
         out = g.groupby("item", sort=False)["est"].sum().reset_index()
-        return out[out["est"] >= keep_min]
+        out = out[out["est"] >= keep_min]
+        # explicit Arrow types: an empty pandas object column would make
+        # Ray's block-size estimator warn (np.vectorize on size 0) and
+        # unify as null-type
+        return pa.table({
+            "item": pa.array(out["item"].to_numpy(dtype=object),
+                             type=pa.string()),
+            "est": pa.array(out["est"].to_numpy(), type=pa.int64()),
+        })
 
     cand = (
         parts.map_batches(bucketize, batch_format="pyarrow")
