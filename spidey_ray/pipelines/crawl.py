@@ -732,7 +732,10 @@ class CrawlEngine:
         for shard, counts in zip(self.host_shards, shard_counts):
             if counts:
                 count_refs.append(shard.count_urls.remote(counts))
-        ray.get(count_refs)
+        # no barrier: per-shard actor order serializes these before the
+        # filter_links tasks submitted below; refs drain at the checkpoint
+        # (or result) purely to surface errors
+        self._fp_put_refs.extend(count_refs)
 
         n_additions = 0
         if len(cand_rows):
@@ -848,32 +851,47 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _checkpoint(self, round_k: int) -> None:
-        if self._fp_put_refs:   # surface any failed async footprint writes
-            ray.get(self._fp_put_refs)
-            self._fp_put_refs = []
+        """Round checkpoint: every actor-side snapshot task (frontier /
+        footprint / cuckoo shards, host shards) is SUBMITTED first, then
+        the driver's own file writes run concurrently with them and ONE
+        ``ray.get`` barrier lands everything before ``_SUCCESS`` (the old
+        code held three pool-level barriers before its first local
+        write).  A crash mid-write leaves no success marker and resume
+        falls back to the previous round (the SIGKILL test's contract).
+
+        Actor task order is per submitting caller, so the snapshots are
+        serialized before any mutation the next round submits to the same
+        actors.  A fully-async variant (file writes on a background
+        thread, joined next round) was measured and REJECTED: the
+        thread's GIL-bound pandas serialization contends with the
+        driver's round-orchestration phases and cost more at 32 CPUs
+        than the overlap saved (BASELINE.md round-5 notes).
+        """
+        fp_refs, self._fp_put_refs = self._fp_put_refs, []
         rd = os.path.join(self.ckpt_dir, f"round={round_k:05d}")
         os.makedirs(rd, exist_ok=True)
         # sharded state checkpoints itself: each frontier / footprint /
         # cuckoo shard writes its own blob under the round dir — the blobs
-        # never round-trip through the driver (round-1 verdict #2/#3)
+        # never round-trip through the driver (round-1 verdict #2/#3).
         # KV pools write DELTAS (bytes ∝ the round, not the corpus), with a
         # periodic full blob bounding the restore chain; the frontier
         # checkpoint hard-links its immutable spill files (O(mem + #files))
         full = (round_k % self.ckpt_compact_every == 0)
-        self.frontier.checkpoint(rd)
-        self.footprints.checkpoint(rd, full=full)
-        self.seen.checkpoint(rd, full=full)
+        shard_refs = (
+            self.frontier.checkpoint_refs(rd)
+            + self.footprints.checkpoint_refs(rd, full=full)
+            + self.seen.checkpoint_refs(rd, full=full)
+            + [shard.checkpoint.remote(
+                   os.path.join(rd, f"host_shard{i}.json"))
+               for i, shard in enumerate(self.host_shards)]
+        )
         fetched = getattr(self, "_round_fetched", None)
         if fetched is None:
             fetched = _empty_pending().assign(
                 round_fetched=pd.Series(dtype="int64"),
                 fetch_seq=pd.Series(dtype="int64"),
             ).drop(columns=["round_added"])
-        fd = fetched.copy()
-        fd["url_hash"] = fd["url_hash"].map(bytes)
-        pq.write_table(pa.Table.from_pandas(fd, preserve_index=False),
-                       os.path.join(rd, "fetched_delta.parquet"))
-        gate_blob = {
+        gate_json = json.dumps({
             "previouspage": self.gate.previouspage,
             "unique_url_count": self.gate.unique_url_count,
             "query_dict": {
@@ -881,33 +899,40 @@ class CrawlEngine:
             },
             "fetch_seq": self.fetch_seq,
             "longest": self.longest,
-        }
+        })
+        blacklist_json = json.dumps({
+            "permanent": dict(self.blacklist.permanent),
+            "temp": sorted(self.blacklist.temp)})
+        excluded_json = json.dumps(self._round_excluded_docs)
+        token_delta = self._round_token_partial       # replaced per round,
+        lin = getattr(self, "_round_lineage", None)   # never mutated
+
+        fd = fetched.copy()
+        fd["url_hash"] = fd["url_hash"].map(bytes)
+        pq.write_table(pa.Table.from_pandas(fd, preserve_index=False),
+                       os.path.join(rd, "fetched_delta.parquet"))
         with open(os.path.join(rd, "gate.json"), "w") as f:
-            json.dump(gate_blob, f)
+            f.write(gate_json)
         with open(os.path.join(rd, "blacklist.json"), "w") as f:
-            json.dump({"permanent": self.blacklist.permanent,
-                       "temp": sorted(self.blacklist.temp)}, f)
-        # host shards write their own snapshots (O(hosts) JSON must not
-        # round-trip the driver each round)
-        ray.get([
-            shard.checkpoint.remote(
-                os.path.join(rd, f"host_shard{i}.json"))
-            for i, shard in enumerate(self.host_shards)
-        ])
-        delta = self._round_token_partial
+            f.write(blacklist_json)
         pq.write_table(
-            pa.table({"token": pa.array(delta["token"].astype(str).tolist()
-                                        if len(delta) else [], type=pa.string()),
-                      "n": pa.array([int(x) for x in delta["n"]]
-                                    if len(delta) else [], type=pa.int64())}),
+            pa.table({"token": pa.array(
+                          token_delta["token"].astype(str).tolist()
+                          if len(token_delta) else [],
+                          type=pa.string()),
+                      "n": pa.array([int(x) for x in token_delta["n"]]
+                                    if len(token_delta) else [],
+                                    type=pa.int64())}),
             os.path.join(rd, "token_partials.parquet"),
         )
         with open(os.path.join(rd, "excluded_docs.json"), "w") as f:
-            json.dump(self._round_excluded_docs, f)
-        lin = getattr(self, "_round_lineage", None)
+            f.write(excluded_json)
         if lin:
             pq.write_table(pa.table({k: [v] for k, v in lin.items()}),
                            os.path.join(rd, "lineage.parquet"))
+        if fp_refs:   # surface any failed async footprint writes
+            ray.get(fp_refs)
+        ray.get(shard_refs)
         with open(os.path.join(rd, "_SUCCESS"), "w") as f:
             f.write("ok")
 

@@ -530,6 +530,15 @@ class ShardedSeen:
     def serialize(self) -> list[dict]:
         return ray.get([s.serialize.remote() for s in self.shards])
 
+    def checkpoint_refs(self, round_dir: str, full: bool = False) -> list:
+        import os
+
+        kind = "full" if full else "delta"
+        paths = [os.path.join(round_dir, f"seen_{kind}_shard{i}.pkl")
+                 for i in range(self.n_shards)]
+        return [s.checkpoint.remote(p, full)
+                for s, p in zip(self.shards, paths)]
+
     def checkpoint(self, round_dir: str, full: bool = False) -> list[str]:
         """Each shard writes its own delta (or periodic full) blob under
         ``round_dir``; only paths return to the driver."""
@@ -538,8 +547,7 @@ class ShardedSeen:
         kind = "full" if full else "delta"
         paths = [os.path.join(round_dir, f"seen_{kind}_shard{i}.pkl")
                  for i in range(self.n_shards)]
-        ray.get([s.checkpoint.remote(p, full)
-                 for s, p in zip(self.shards, paths)])
+        ray.get(self.checkpoint_refs(round_dir, full=full))
         return paths
 
     @classmethod

@@ -456,10 +456,18 @@ class ShardedFrontier:
         tabs = ray.get([s.dump.remote() for s in self.shards])
         return pa.concat_tables(tabs).to_pandas()
 
+    def checkpoint_refs(self, round_dir: str) -> list:
+        """Submit every shard's checkpoint task and return the refs —
+        the caller may wait later (actor task order already guarantees
+        the snapshot precedes any subsequently submitted mutation)."""
+        paths = [os.path.join(round_dir, f"pending_shard{i}.parquet")
+                 for i in range(self.n_shards)]
+        return [s.checkpoint.remote(p) for s, p in zip(self.shards, paths)]
+
     def checkpoint(self, round_dir: str) -> list[str]:
         paths = [os.path.join(round_dir, f"pending_shard{i}.parquet")
                  for i in range(self.n_shards)]
-        ray.get([s.checkpoint.remote(p) for s, p in zip(self.shards, paths)])
+        ray.get(self.checkpoint_refs(round_dir))
         return paths
 
     @classmethod
@@ -599,14 +607,22 @@ class ShardedFootprints:
                 refs.append(s.put_arrays.remote(urls, sh, nt))
         return refs
 
+    def checkpoint_refs(self, round_dir: str, full: bool = False) -> list:
+        kind = "full" if full else "delta"
+        paths = [
+            os.path.join(round_dir, f"footprints_{kind}_shard{i}.parquet")
+            for i in range(self.n_shards)
+        ]
+        return [s.checkpoint.remote(p, full)
+                for s, p in zip(self.shards, paths)]
+
     def checkpoint(self, round_dir: str, full: bool = False) -> list[str]:
         kind = "full" if full else "delta"
         paths = [
             os.path.join(round_dir, f"footprints_{kind}_shard{i}.parquet")
             for i in range(self.n_shards)
         ]
-        ray.get([s.checkpoint.remote(p, full)
-                 for s, p in zip(self.shards, paths)])
+        ray.get(self.checkpoint_refs(round_dir, full=full))
         return paths
 
     @classmethod
