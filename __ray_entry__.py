@@ -828,6 +828,73 @@ def q_media_refs(sf_dir: str):
             .map_batches(explode_media_refs_batch, batch_format="pyarrow"))
 
 
+def q_spans_render(sf_dir: str):
+    """Interleaved docs linearized for a tokenizer (stages/spans.py:
+    spans_to_text_batch — the VLM render step): text spans joined with
+    '<|image|>' placeholders in stored interleave order, plus the
+    integer-exact sequence cost n_positions = n_text_tokens + 4·n_media
+    (media spans cost a fixed patch-token budget).  The oracle rebuilds
+    the same strings and integers from the construction arithmetic."""
+    from spidey_ray.stages.spans import spans_to_text_batch
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(_build_interleaved_spans, batch_format="pyarrow")
+            .map_batches(spans_to_text_batch, batch_format="pyarrow"))
+
+
+def _build_shared_media_spans(t: pa.Table) -> pa.Table:
+    """The q_media_span_dedup construction: same 8-token text chunks as
+    _build_interleaved_spans, but media refs drawn from a SHARED pool
+    ('media://{(d+2i)%11}/{i%3}' — 33 distinct refs corpus-wide) so
+    cross-document duplicates actually exist and the keep-first exchange
+    has real work; the oracle re-derives first-occurrence by
+    row_number() over the same arithmetic."""
+    from spidey_ray.stages.round_stage import SPAN_TYPE
+    from spidey_ray.stages.textstats import tokens_of
+
+    spans_col = []
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = tokens_of(txt)
+        spans = []
+        for i in range(max(1, (len(toks) + 7) // 8)):
+            spans.append({"kind": "text", "text": " ".join(toks[8*i:8*i+8]),
+                          "media_ref": "", "offset": 2 * i})
+            if (d + i) % 5 == 0:
+                spans.append({"kind": "image", "text": "",
+                              "media_ref":
+                                  f"media://{(d + 2 * i) % 11}/{i % 3}",
+                              "offset": 2 * i + 1})
+        spans_col.append(spans)
+    return pa.table({"doc_id": t["doc_id"],
+                     "spans": pa.array(spans_col, type=SPAN_TYPE)})
+
+
+def q_media_span_dedup(sf_dir: str):
+    """Corpus-wide keep-first media dedup applied IN the interleave
+    (stages/spans.py:strip_duplicate_media_spans): a media span whose
+    media_ref occurred earlier in canonical order (doc_id asc, span pos
+    asc) is removed in place, text spans untouched — one fat-bucket
+    ref exchange + an adaptive broadcast/join rewrite.  Output summary
+    per doc: surviving span counts + n_media_dropped."""
+    from spidey_ray.stages.spans import (span_stats_batch,
+                                         strip_duplicate_media_spans)
+
+    stripped = strip_duplicate_media_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(_build_shared_media_spans, batch_format="pyarrow"))
+
+    def summarize(t: pa.Table) -> pa.Table:
+        s = span_stats_batch(t.select(["doc_id", "spans"]))
+        return pa.table({
+            "doc_id": s["doc_id"],
+            "n_spans": s["n_spans"],
+            "n_media_spans": s["n_media_spans"],
+            "n_media_dropped": t["n_media_dropped"],
+        })
+
+    return stripped.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_heavy_hitters(sf_dir: str):
     """Frequent tokens of the document corpus via the mergeable
     Misra-Gries sketch (stages/sketches.py:heavy_hitters): per-block
@@ -1519,7 +1586,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": q_hash_join,
         "broadcast_join": q_broadcast_join,
         "topk_orders": q_topk_orders,
-        "sort_limit": q_sort_limit,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "shuffle_join": q_shuffle_join,
@@ -1544,13 +1610,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "asof_join": q_asof_join,
         "quality_stop_ratio": q_quality_stop_ratio,
-        # URL ops
-        "url_valid_filter": q_url_valid_filter,
-        # interleaved-span analytics (SQL-checked; rotated INTO the window
-        # round 5 in place of url_canonicalize/url_query_sort, both pure
-        # urltools maps already pytest-covered and SQL-validated in r04)
+        # interleaved-span analytics + transforms (SQL-checked; rotated
+        # INTO the window round 5 in place of url_canonicalize /
+        # url_query_sort / url_valid_filter — pure urltools maps, pytest-
+        # covered and SQL-green in r04 — and sort_limit, whose sort+limit
+        # shape topk_orders already exercises)
         "span_stats": q_span_stats,
         "media_refs": q_media_refs,
+        "spans_render": q_spans_render,
+        "media_span_dedup": q_media_span_dedup,
         # embeddings
         "embedding_topk": q_embedding_topk,
         "filtered_ann": q_filtered_ann,
@@ -1580,6 +1648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only, covered by pytest ---
         "url_canonicalize": q_url_canonicalize,
         "url_query_sort": q_url_query_sort,
+        "url_valid_filter": q_url_valid_filter,
+        "sort_limit": q_sort_limit,
         "heavy_hitters": q_heavy_hitters,
         "curation_pipeline": q_curation_pipeline,
         "minhash_dedup": q_minhash_dedup,
@@ -2135,6 +2205,76 @@ def oracle_sql() -> dict[str, str]:
                 cast(case when doc_id % 23 = 0 and i = mx then 0
                           else 2 * i + 1 end as integer) as offset
             from sel
+        """,
+        # the VLM render of the same construction: pieces (non-empty chunk
+        # text, then the media placeholder) joined with single spaces in
+        # interleave order; token cost = len(toks) + 4 per media span.
+        "spans_render": rf"""
+            with tok as (select doc_id, {_TOKEN_SQL} as toks from documents),
+            base as (select doc_id,
+                            greatest(1, cast(ceil(len(toks) / 8.0) as int))
+                                as n_chunks,
+                            toks from tok),
+            chunks as (
+                select doc_id, i,
+                    array_to_string(toks[8*i+1 : 8*i+8], ' ') as txt,
+                    case when (doc_id + i) % 5 = 0 then 1 else 0 end
+                        as has_media
+                from base, unnest(generate_series(0, n_chunks - 1)) as t(i)),
+            pieces as (
+                select doc_id, i, 0 as sub, txt as piece
+                from chunks where txt <> ''
+                union all
+                select doc_id, i, 1 as sub, '<|image|>' as piece
+                from chunks where has_media = 1),
+            agg as (
+                select doc_id,
+                       string_agg(piece, ' ' order by i, sub)
+                           as rendered_text
+                from pieces group by doc_id),
+            med as (
+                select doc_id, cast(sum(has_media) as bigint) as n_media
+                from chunks group by doc_id)
+            select b.doc_id,
+                coalesce(a.rendered_text, '') as rendered_text,
+                cast(len(b.toks) as bigint) as n_text_tokens,
+                m.n_media as n_media_spans,
+                cast(len(b.toks) + 4 * m.n_media as bigint) as n_positions
+            from base b
+            left join agg a using (doc_id)
+            join med m using (doc_id)
+        """,
+        # keep-first media dedup over the SHARED-ref construction
+        # ('media://{{(d+2i)%11}}/{{i%3}}'): corpus-wide first occurrence in
+        # (doc_id, span-pos) order = row_number() = 1 over the same
+        # arithmetic (within a doc, pos order == chunk order).
+        "media_span_dedup": rf"""
+            with tok as (select doc_id, {_TOKEN_SQL} as toks from documents),
+            base as (select doc_id,
+                            greatest(1, cast(ceil(len(toks) / 8.0) as int))
+                                as n_chunks from tok),
+            med as (
+                select doc_id, i
+                from base, unnest(generate_series(0, n_chunks - 1)) as t(i)
+                where (doc_id + i) % 5 = 0),
+            marked as (
+                select doc_id, i,
+                       row_number() over (
+                           partition by (doc_id + 2 * i) % 11, i % 3
+                           order by doc_id, i) as rn
+                from med),
+            kept as (
+                select doc_id,
+                       cast(sum(case when rn = 1 then 1 else 0 end)
+                            as bigint) as n_kept,
+                       cast(count(*) as bigint) as n_media
+                from marked group by doc_id)
+            select b.doc_id,
+                cast(b.n_chunks + coalesce(k.n_kept, 0) as bigint) as n_spans,
+                coalesce(k.n_kept, cast(0 as bigint)) as n_media_spans,
+                coalesce(k.n_media - k.n_kept, cast(0 as bigint))
+                    as n_media_dropped
+            from base b left join kept k using (doc_id)
         """,
         # ExactSubstr duplicated spans (k=8): positions whose 8-gram occurs
         # >= 2 times corpus-wide, merged into maximal extents (hits chain

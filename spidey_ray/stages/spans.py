@@ -100,3 +100,235 @@ def explode_media_refs_batch(batch: pa.Table, spans_col: str = "spans",
         "media_ref": pc.filter(flat.field("media_ref"), media),
         "offset": pc.filter(flat.field("offset"), media),
     })
+
+
+# ---------------------------------------------------------------------------
+# interleaved rendering: spans → tokenizer-ready text
+# ---------------------------------------------------------------------------
+
+
+def _flat_with_pos(col: pa.Array):
+    """Flatten a spans list column once; returns (flat_struct, parent_idx,
+    within_doc_pos) — the within-doc ordinal counts BOTH text and media
+    spans, i.e. the stored interleave position."""
+    flat = pc.list_flatten(col)
+    parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    pos = np.arange(int(lens.sum()), dtype=np.int64) - starts
+    return flat, parent, pos, lens
+
+
+def spans_to_text_batch(batch: pa.Table, spans_col: str = "spans",
+                        id_col: str = "doc_id",
+                        media_token: str = "<|image|>",
+                        media_tokens: int = 4) -> pa.Table:
+    """Linearize interleaved docs for a tokenizer — the render step every
+    VLM training pipeline has: text spans contribute their text, media
+    spans a placeholder token, joined with single spaces in STORED span
+    order (the authoritative interleave; the offset field is metadata).
+    Empty text pieces vanish (they carry no tokens).
+
+    Integer-exact sequence cost rides along:
+    ``n_positions = n_text_tokens + media_tokens · n_media_spans`` —
+    the budget number a packing stage consumes (image spans cost a fixed
+    patch-token budget in real VLM tokenizers).
+
+    Pure map; the only per-doc Python is one ``' '.join`` per document
+    (pandas groupby-agg), every predicate/count is an Arrow/numpy kernel.
+    """
+    col = batch[spans_col].combine_chunks()
+    flat, parent, _pos, _lens = _flat_with_pos(col)
+    n = len(batch)
+    if len(flat):
+        is_text = pc.equal(flat.field("kind"), "text")
+        piece = pc.if_else(is_text, pc.fill_null(flat.field("text"), ""),
+                           media_token)
+        nonempty = pc.greater(pc.utf8_length(piece), 0).to_numpy(
+            zero_copy_only=False)
+        joined = (pd.Series(piece.to_pandas()[nonempty])
+                  .groupby(parent[nonempty]).agg(" ".join))
+        rendered = joined.reindex(range(n)).fillna("").to_numpy(dtype=object)
+        is_text_np = is_text.to_numpy(zero_copy_only=False)
+        # token count of a chunk built by ' '.join(tokens): spaces + 1
+        txt_toks = np.where(
+            nonempty & is_text_np,
+            pc.count_substring(piece, " ").to_numpy(zero_copy_only=False) + 1,
+            0)
+        n_text = np.bincount(parent, weights=txt_toks,
+                             minlength=n).astype(np.int64)
+        n_media = np.bincount(parent[~is_text_np], minlength=n).astype(
+            np.int64)
+    else:
+        rendered = np.full(n, "", dtype=object)
+        n_text = n_media = np.zeros(n, dtype=np.int64)
+
+    return pa.table({
+        id_col: batch[id_col],
+        "rendered_text": pa.array(rendered, type=pa.string()),
+        "n_text_tokens": pa.array(n_text),
+        "n_media_spans": pa.array(n_media),
+        "n_positions": pa.array(n_text + media_tokens * n_media),
+    })
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide media dedup at the SPAN level
+# ---------------------------------------------------------------------------
+
+
+def media_ref_positions_batch(batch: pa.Table, spans_col: str = "spans",
+                              id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, pos, media_ref) for every media span; ``pos`` is the
+    stored interleave ordinal (text+media), the key a span-level rewrite
+    needs back."""
+    col = batch[spans_col].combine_chunks()
+    flat, parent, pos, _lens = _flat_with_pos(col)
+    media = pc.invert(pc.equal(flat.field("kind"), "text")).to_numpy(
+        zero_copy_only=False)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    return pa.table({
+        id_col: pa.array(ids[parent[media]], type=pa.int64()),
+        "pos": pa.array(pos[media]),
+        "media_ref": pc.filter(flat.field("media_ref"), pa.array(media)),
+    })
+
+
+def duplicate_media_positions(ds: "ray.data.Dataset",
+                              spans_col: str = "spans",
+                              id_col: str = "doc_id",
+                              num_buckets: int = 256) -> "ray.data.Dataset":
+    """(doc_id, pos) of every media span whose media_ref occurred EARLIER
+    in canonical corpus order (doc_id asc, span position asc) — keep-first
+    media dedup, the span-level analogue of ``line_dedup``.  One
+    fat-bucket exchange on ``hash(media_ref)``: all occurrences of a ref
+    co-locate, so first-wins is exact and global; only refs + two ints
+    ride the shuffle, never payloads or text."""
+    import ray.data  # noqa: F401
+
+    def bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t["media_ref"].to_pandas(), index=False,
+            hash_key="spidey-mediarf-0", categorize=False)
+        return t.append_column(
+            "_bucket", pa.array((h % num_buckets).astype("int32").values))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        dup = g[g.duplicated("media_ref", keep="first")]
+        return pa.table({
+            id_col: pa.array(dup[id_col].to_numpy(), type=pa.int64()),
+            "pos": pa.array(dup["pos"].to_numpy(), type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(media_ref_positions_batch,
+                       fn_kwargs={"spans_col": spans_col, "id_col": id_col},
+                       batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def _rebuild_spans(col: pa.Array, keep: np.ndarray,
+                   n_docs: int) -> tuple[pa.ListArray, np.ndarray]:
+    """Filter a spans list column by a flat keep mask, rebuilding the
+    list layout vectorized (new offsets from a bincount of kept parents —
+    no per-doc Python)."""
+    flat, parent, _pos, lens = _flat_with_pos(col)
+    kept_per_doc = np.bincount(parent[keep], minlength=n_docs).astype(
+        np.int64)
+    offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
+    vals = flat.filter(pa.array(keep))
+    arr = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), vals)
+    return arr, (lens - kept_per_doc)
+
+
+def strip_duplicate_media_spans(ds: "ray.data.Dataset",
+                                spans_col: str = "spans",
+                                id_col: str = "doc_id",
+                                num_buckets: int = 256,
+                                broadcast_limit: int = 2_000_000,
+                                ) -> "ray.data.Dataset":
+    """Docs with later-occurrence duplicate media spans REMOVED (text
+    spans untouched) plus an ``n_media_dropped`` column — cross-doc media
+    dedup applied in place in the interleave, the media analogue of
+    ``dedup.strip_duplicate_spans``.
+
+    Adaptive attach (the same contract as strip_duplicate_spans): the
+    drop set is bounded by the DUPLICATE count, so under
+    ``broadcast_limit`` rows it broadcasts as a doc→positions dict and
+    docs rewrite in one pure map (vectorized mask + list rebuild); beyond
+    it, drops ⋈ docs co-partition on a doc-id hash and each doc-bucket
+    applies its cuts — nothing corpus-sized reaches the driver."""
+    import ray as _ray
+    import ray.data  # noqa: F401
+
+    drops = duplicate_media_positions(
+        ds, spans_col=spans_col, id_col=id_col,
+        num_buckets=num_buckets).materialize()
+
+    if drops.count() <= broadcast_limit:
+        tbl = drops.to_pandas()
+        by_doc: dict = {}
+        if len(tbl):   # an all-unique corpus yields a column-less frame
+            for did, p in zip(tbl[id_col].to_numpy(), tbl["pos"].to_numpy()):
+                by_doc.setdefault(int(did), []).append(int(p))
+        drop_ref = _ray.put({d: np.asarray(v, dtype=np.int64)
+                             for d, v in by_doc.items()})
+
+        def strip(batch: pa.Table) -> pa.Table:
+            lookup = _ray.get(drop_ref)
+            col = batch[spans_col].combine_chunks()
+            _flat, _parent, _pos, lens = _flat_with_pos(col)
+            starts = np.cumsum(lens) - lens
+            keep = np.ones(int(lens.sum()), dtype=bool)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            for i, did in enumerate(ids):
+                p = lookup.get(int(did))
+                if p is not None:
+                    keep[starts[i] + p] = False
+            spans_arr, dropped = _rebuild_spans(col, keep, len(batch))
+            return pa.table({
+                id_col: batch[id_col],
+                spans_col: spans_arr,
+                "n_media_dropped": pa.array(dropped),
+            })
+
+        return ds.map_batches(strip, batch_format="pyarrow")
+
+    # scale branch: drops ⋈ docs co-partitioned on doc hash, per-bucket cut
+    from .joins import hash_join
+
+    joined = hash_join(ds, drops.map_batches(
+        lambda t: t.rename_columns([id_col, "drop_pos"]),
+        batch_format="pyarrow"), on=id_col, how="left",
+        num_buckets=num_buckets)
+
+    def dbucket(t: pa.Table) -> pa.Table:
+        d = t[id_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_dbucket", pa.array((d % num_buckets).astype(np.int32)))
+
+    def per_doc_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids, spans_out, dropped = [], [], []
+        for did, rows in g.groupby(id_col, sort=False):
+            cuts = {int(p) for p in rows["drop_pos"] if pd.notna(p)}
+            spans = rows[spans_col].iloc[0]
+            kept = [s for j, s in enumerate(spans) if j not in cuts]
+            ids.append(did)
+            spans_out.append(kept)
+            dropped.append(len(spans) - len(kept))
+        return pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
+                             spans_col: spans_out,
+                             "n_media_dropped": np.asarray(dropped,
+                                                           dtype=np.int64)})
+
+    return (
+        joined.map_batches(dbucket, batch_format="pyarrow")
+        .groupby("_dbucket")
+        .map_groups(per_doc_bucket, batch_format="pandas")
+    )

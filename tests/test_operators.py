@@ -1021,6 +1021,83 @@ class TestCurationPipeline:
         assert "no terminal punctuation" not in " ".join(out["text"])
 
 
+class TestInterleavedTransforms:
+    """spans_to_text (VLM render) + strip_duplicate_media_spans (keep-first
+    media dedup in the interleave), both branches."""
+
+    @staticmethod
+    def _docs():
+        from spidey_ray.stages.round_stage import SPAN_TYPE
+
+        return pa.table({
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "spans": pa.array([
+                [{"kind": "text", "text": "a b c", "media_ref": "",
+                  "offset": 0},
+                 {"kind": "image", "text": "", "media_ref": "m0",
+                  "offset": 1},
+                 {"kind": "text", "text": "", "media_ref": "", "offset": 2},
+                 {"kind": "image", "text": "", "media_ref": "m1",
+                  "offset": 3},
+                 {"kind": "image", "text": "", "media_ref": "m0",
+                  "offset": 4}],
+                [{"kind": "image", "text": "", "media_ref": "m0",
+                  "offset": 0},
+                 {"kind": "text", "text": "d e", "media_ref": "",
+                  "offset": 1}],
+                [],
+            ], type=SPAN_TYPE)})
+
+    def test_render(self):
+        from spidey_ray.stages.spans import spans_to_text_batch
+
+        r = spans_to_text_batch(self._docs())
+        # stored interleave order, empty text pieces vanish
+        assert r["rendered_text"].to_pylist() == [
+            "a b c <|image|> <|image|> <|image|>", "<|image|> d e", ""]
+        assert r["n_text_tokens"].to_pylist() == [3, 2, 0]
+        assert r["n_media_spans"].to_pylist() == [3, 1, 0]
+        # n_positions = text tokens + 4 per media span
+        assert r["n_positions"].to_pylist() == [15, 6, 0]
+
+    def test_media_dedup_keep_first_both_branches(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.spans import (duplicate_media_positions,
+                                             strip_duplicate_media_spans)
+
+        ds = ray.data.from_arrow(self._docs())
+        dups = sorted(map(tuple, duplicate_media_positions(ds)
+                          .to_pandas().to_numpy()))
+        # doc0 pos4 repeats m0 (first at doc0 pos1); doc1 pos0 repeats it
+        # cross-document
+        assert dups == [(0, 4), (1, 0)]
+        for limit in (2_000_000, 0):     # broadcast branch, join branch
+            out = (strip_duplicate_media_spans(ds, broadcast_limit=limit)
+                   .to_pandas().sort_values("doc_id").reset_index(drop=True))
+            assert out["n_media_dropped"].tolist() == [1, 1, 0]
+            refs0 = [s["media_ref"] for s in out.loc[0, "spans"]
+                     if s["kind"] != "text"]
+            assert refs0 == ["m0", "m1"]
+            assert [s["kind"] for s in out.loc[1, "spans"]] == ["text"]
+
+    def test_dedup_noop_on_unique_corpus(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.round_stage import SPAN_TYPE
+        from spidey_ray.stages.spans import strip_duplicate_media_spans
+
+        t = pa.table({
+            "doc_id": pa.array([5], type=pa.int64()),
+            "spans": pa.array([[{"kind": "image", "text": "",
+                                 "media_ref": "only", "offset": 0}]],
+                              type=SPAN_TYPE)})
+        out = strip_duplicate_media_spans(
+            ray.data.from_arrow(t)).to_pandas()
+        assert out["n_media_dropped"].tolist() == [0]
+        assert len(out.loc[0, "spans"]) == 1
+
+
 class TestCurationSingleExecution:
     """The physical-plan contract of curate(): the expensive per-doc
     chain executes exactly ONCE even though four downstream consumers
