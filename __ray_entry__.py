@@ -895,6 +895,27 @@ def q_media_span_dedup(sf_dir: str):
     return stripped.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_vlm_curation(sf_dir: str):
+    """The composed INTERLEAVED curation pipeline
+    (pipelines/interleaved.curate_interleaved — the axis-B counterpart of
+    curation_pipeline): cross-doc keep-first media dedup in the
+    interleave → per-span text gate → tokenizer render with media
+    placeholders → FFD packing into 1024-position sequences (media spans
+    cost 4 positions).  Rows-only: every constituent carries its own SQL
+    oracle (media_span_dedup, spans_render) or pytest (gate, packing);
+    bin assignment is block-local FFD by design."""
+    from spidey_ray.pipelines.interleaved import curate_interleaved
+
+    out = curate_interleaved(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(_build_shared_media_spans, batch_format="pyarrow"),
+        seq_budget=1024,
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (out.drop(columns=["bin_id", "bin_fill"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_heavy_hitters(sf_dir: str):
     """Frequent tokens of the document corpus via the mergeable
     Misra-Gries sketch (stages/sketches.py:heavy_hitters): per-block
@@ -1652,6 +1673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_limit": q_sort_limit,
         "heavy_hitters": q_heavy_hitters,
         "curation_pipeline": q_curation_pipeline,
+        "vlm_curation": q_vlm_curation,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,

@@ -136,46 +136,76 @@ def pack_sequences(ds: "ray.data.Dataset", max_tokens: int,
         counts = np.fromiter(
             (len(tokens_of(t)) for t in batch[text_col].to_pylist()),
             dtype=np.int64, count=len(ids))
-        order = np.argsort(-counts, kind="stable")      # FFD: biggest first
-        bins_fill: list[int] = []
-        assign = np.empty(len(ids), dtype=np.int64)
-        for k in order:
-            c = int(counts[k])
-            placed = False
-            for b, fill in enumerate(bins_fill):        # first fit
-                if fill + c <= max_tokens:
-                    bins_fill[b] = fill + c
-                    assign[k] = b
-                    placed = True
-                    break
-            if not placed:
-                assign[k] = len(bins_fill)
-                bins_fill.append(c)
-        # block-unique prefix: the block's min id (blocks partition rows, so
-        # this is exact); crc32 fallback for non-integer id columns
-        n_bins = len(bins_fill)
-        if n_bins >= 1 << 21:
-            raise ValueError(
-                f"pack_sequences: {n_bins} bins in one block overflows the "
-                "21-bit local_bin field — reduce the block/batch size")
-        if ids and all(isinstance(i, int) for i in ids):
-            tag = min(ids)
-            if not 0 <= tag < 1 << 42:
-                raise ValueError(
-                    f"pack_sequences: doc id {tag} outside [0, 2^42) — "
-                    "bin_id packing needs a narrower id space")
-            base = np.int64(tag) << np.int64(21)
-        else:
-            import zlib
-
-            tag = zlib.crc32(",".join(map(str, ids)).encode()) & 0xFFFFFFFF
-            base = np.int64(tag) << np.int64(21)
+        bin_ids, fills = ffd_assign_block(ids, counts, max_tokens)
         return pa.table({
-            "bin_id": pa.array(base + assign, type=pa.int64()),
+            "bin_id": pa.array(bin_ids, type=pa.int64()),
             id_col: batch[id_col],
             "n_tokens": pa.array(counts, type=pa.int64()),
-            "bin_fill": pa.array(
-                [bins_fill[a] for a in assign], type=pa.int64()),
+            "bin_fill": pa.array(fills, type=pa.int64()),
         })
+
+    return ds.map_batches(pack, batch_format="pyarrow")
+
+
+def ffd_assign_block(ids: list, counts: np.ndarray, max_tokens: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """The per-block FFD core of :func:`pack_sequences`: returns
+    (globally-unique bin_id, bin_fill) per row — shared by the flat-text
+    packer above and the interleaved cost packer
+    (:func:`pack_by_cost`)."""
+    order = np.argsort(-counts, kind="stable")          # FFD: biggest first
+    bins_fill: list[int] = []
+    assign = np.empty(len(ids), dtype=np.int64)
+    for k in order:
+        c = int(counts[k])
+        placed = False
+        for b, fill in enumerate(bins_fill):            # first fit
+            if fill + c <= max_tokens:
+                bins_fill[b] = fill + c
+                assign[k] = b
+                placed = True
+                break
+        if not placed:
+            assign[k] = len(bins_fill)
+            bins_fill.append(c)
+    # block-unique prefix: the block's min id (blocks partition rows, so
+    # this is exact); crc32 fallback for non-integer id columns
+    n_bins = len(bins_fill)
+    if n_bins >= 1 << 21:
+        raise ValueError(
+            f"pack_sequences: {n_bins} bins in one block overflows the "
+            "21-bit local_bin field — reduce the block/batch size")
+    if ids and all(isinstance(i, int) for i in ids):
+        tag = min(ids)
+        if not 0 <= tag < 1 << 42:
+            raise ValueError(
+                f"pack_sequences: doc id {tag} outside [0, 2^42) — "
+                "bin_id packing needs a narrower id space")
+        base = np.int64(tag) << np.int64(21)
+    else:
+        import zlib
+
+        tag = zlib.crc32(",".join(map(str, ids)).encode()) & 0xFFFFFFFF
+        base = np.int64(tag) << np.int64(21)
+    fills = np.fromiter((bins_fill[a] for a in assign), dtype=np.int64,
+                        count=len(ids))
+    return base + assign, fills
+
+
+def pack_by_cost(ds: "ray.data.Dataset", max_tokens: int,
+                 cost_col: str, id_col: str = "doc_id") -> "ray.data.Dataset":
+    """:func:`pack_sequences` over a PRECOMPUTED integer cost column
+    (e.g. the interleaved render's ``n_positions``, where media spans
+    charge a fixed patch-token budget); all input columns are carried
+    through with ``bin_id`` / ``bin_fill`` appended."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        counts = batch[cost_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        bin_ids, fills = ffd_assign_block(ids, counts, max_tokens)
+        return (batch
+                .append_column("bin_id", pa.array(bin_ids, type=pa.int64()))
+                .append_column("bin_fill", pa.array(fills, type=pa.int64())))
 
     return ds.map_batches(pack, batch_format="pyarrow")

@@ -1098,6 +1098,70 @@ class TestInterleavedTransforms:
         assert len(out.loc[0, "spans"]) == 1
 
 
+class TestInterleavedCuration:
+    """Composed VLM pipeline: one planted victim/behavior per stage."""
+
+    def test_each_stage_acts(self, ray_session):
+        import ray.data
+
+        from spidey_ray.pipelines.interleaved import curate_interleaved
+        from spidey_ray.stages.round_stage import SPAN_TYPE
+
+        long = " ".join(f"w{i}" for i in range(9))
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "spans": pa.array([
+                # 0: survivor, keeps its (first-occurrence) media span
+                [{"kind": "text", "text": long, "media_ref": "",
+                  "offset": 0},
+                 {"kind": "image", "text": "", "media_ref": "m0",
+                  "offset": 1},
+                 {"kind": "text", "text": "", "media_ref": "",
+                  "offset": 2}],          # empty text span → gated out
+                # 1: duplicate media victim (m0 seen at doc 0)
+                [{"kind": "image", "text": "", "media_ref": "m0",
+                  "offset": 0},
+                 {"kind": "text", "text": "a b c d e f g h i j",
+                  "media_ref": "", "offset": 1}],
+                # 2: doc-gate victim (< 8 text tokens)
+                [{"kind": "text", "text": "tiny doc", "media_ref": "",
+                  "offset": 0}],
+                # 3: survivor with its own media
+                [{"kind": "text", "text": "p q r s t u v w x y z",
+                  "media_ref": "", "offset": 0},
+                 {"kind": "image", "text": "", "media_ref": "m1",
+                  "offset": 1}],
+            ], type=SPAN_TYPE)})
+        out = (curate_interleaved(ray.data.from_arrow(t), seq_budget=20)
+               .to_pandas().set_index("doc_id").sort_index())
+        assert list(out.index) == [0, 1, 3]          # doc 2 gated
+        # doc 1 lost its duplicate media span → no placeholder
+        assert "<|image|>" not in out.loc[1, "rendered_text"]
+        assert out.loc[0, "rendered_text"] == f"{long} <|image|>"
+        # media costs 4 positions: 9 text + 4
+        assert out.loc[0, "n_positions"] == 13
+        # packing respects the budget and assigns every doc
+        assert (out["bin_fill"] <= 20).all()
+        assert out["bin_id"].notna().all()
+
+    def test_pack_by_cost_matches_ffd(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.contamination import pack_by_cost
+
+        rows = [{"doc_id": i, "n_positions": c}
+                for i, c in enumerate([9, 8, 7, 3, 3, 2, 1])]
+        out = (pack_by_cost(ray.data.from_items(rows).repartition(1),
+                            10, "n_positions")
+               .to_pandas())
+        # FFD on one block: 9+1 | 8+2 | 7+3 | 3 → 4 bins, fills 10/10/10/3
+        fills = sorted(out.groupby("bin_id")["n_positions"].sum())
+        assert fills == [3, 10, 10, 10]
+        # carried columns intact
+        assert set(out.columns) >= {"doc_id", "n_positions",
+                                    "bin_id", "bin_fill"}
+
+
 class TestCurationSingleExecution:
     """The physical-plan contract of curate(): the expensive per-doc
     chain executes exactly ONCE even though four downstream consumers
