@@ -5,11 +5,14 @@ The interleaved `documents` table carries media as (kind='media', media_ref)
 spans; this module gives those refs a payload pipeline:
 
 - ``media_payload_batch``: resolve media_ref → binary payload.  The sandbox
-  has no network and no image/audio libraries, so payloads come from the
-  deterministic synthetic store below ("FAKEIMG" format); the REAL-decoder
-  path is gated behind an import-try and raises ``NotImplementedError`` with
-  a clear message when Pillow/soundfile are absent — the Ray-side plumbing
-  (schema, batch size, actor signature, output layout) is real and tested.
+  has no network, so payloads come from the deterministic synthetic store
+  below — the "FAKEIMG" format plus REAL PNGs (``synth_png_payload``,
+  identical pixels per ref) decoded by the pure-stdlib codec
+  (``functions/png.py``) in every environment.  Non-PNG real formats
+  (JPEG/WebP/audio) stay behind a Pillow/soundfile import-try that raises
+  ``NotImplementedError`` with a clear message when absent — the Ray-side
+  plumbing (schema, batch size, actor signature, output layout) is real
+  and tested either way.
 - ``MediaDecodeStage`` (actor pool): decode header → width/height/channel
   stats. Decoding state (codec tables in real life) is built once per actor.
 - ``resize_stage`` / ``frame_sample_stage``: size-changing transforms on the
@@ -47,9 +50,32 @@ def synth_payload(media_ref: str) -> bytes:
     return _MAGIC + struct.pack("<HH", w, ht) + pixels.tobytes()
 
 
-def media_payload_batch(batch: pa.Table, ref_col: str = "media_ref") -> pa.Table:
+def synth_png_payload(media_ref: str) -> bytes:
+    """Deterministic REAL PNG payload (same pixel recipe as
+    :func:`synth_payload`, encoded through the stdlib codec with the
+    Paeth filter) — lets pipelines exercise the real-pixels decode path
+    without any optional wheel."""
+    from ..functions.png import encode_png
+
+    h = hashlib.sha1(media_ref.encode()).digest()
+    w, ht = 8 + h[0] % 24, 8 + h[1] % 24
+    rng = np.random.default_rng(int.from_bytes(h[:4], "big"))
+    pixels = rng.integers(0, 256, size=(ht, w), dtype=np.uint8)
+    return encode_png(pixels, filters=4)
+
+
+def media_payload_batch(batch: pa.Table, ref_col: str = "media_ref",
+                        png_mod: int = 0) -> pa.Table:
+    """media_ref → payload.  ``png_mod`` > 0 emits a real PNG for every
+    ``png_mod``-th ref (by stable ref hash) and FAKEIMG for the rest, so
+    a pipeline sees a MIX of codec paths — the realistic shape of a
+    crawled corpus."""
     refs = batch[ref_col].to_pylist()
-    payloads = [synth_payload(r) for r in refs]
+    payloads = [
+        synth_png_payload(r)
+        if png_mod and hashlib.sha1(r.encode()).digest()[-1] % png_mod == 0
+        else synth_payload(r)
+        for r in refs]
     kinds = ["image"] * len(refs)
     return pa.table({
         "media_ref": pa.array(refs, type=pa.string()),
@@ -173,10 +199,24 @@ def dhash64(px: np.ndarray) -> int:
     return int.from_bytes(np.packbits(bits).tobytes(), "big")
 
 
+def decode_gray(payload: bytes) -> np.ndarray:
+    """Format-agnostic grayscale decode: FAKEIMG or real PNG (stdlib
+    codec).  Both synthetic generators draw the same pixel stream per
+    ref, so a ref's grayscale — and hence its perceptual hash — is
+    identical whichever format carried it."""
+    if payload.startswith(_MAGIC):
+        return _decode_fake(payload)[2]
+    from ..functions.png import decode_png, is_png, to_gray
+
+    if is_png(payload):
+        return to_gray(decode_png(payload))
+    raise ValueError("decode_gray: neither FAKEIMG nor PNG payload")
+
+
 def phash_batch(batch: pa.Table) -> pa.Table:
     hashes = []
     for payload in batch["payload"].to_pylist():
-        _w, _h, px = _decode_fake(payload)
+        px = decode_gray(payload)
         hashes.append(dhash64(px))
     return pa.table({
         "media_ref": batch["media_ref"],
@@ -338,12 +378,16 @@ def audio_features_batch(batch: pa.Table) -> pa.Table:
 
 
 def media_feature_pipeline(refs_ds, decode_concurrency: int = 2,
-                           batch_size: int = 64):
+                           batch_size: int = 64, png_mod: int = 3):
     """media_ref rows → decoded feature rows (the canonical multimodal
-    pipeline shape: resolve → actor-pool decode, small batches)."""
+    pipeline shape: resolve → actor-pool decode, small batches).  With
+    the default ``png_mod=3`` roughly a third of the payloads arrive as
+    REAL PNGs (stdlib-decoded pixels), the rest FAKEIMG — both codec
+    tiers exercised in one stream."""
     return (
         refs_ds
         .map_batches(media_payload_batch, batch_format="pyarrow",
+                     fn_kwargs={"png_mod": png_mod},
                      batch_size=batch_size)
         .map_batches(
             MediaDecodeStage, batch_format="pyarrow",

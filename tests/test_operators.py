@@ -400,6 +400,26 @@ class TestPngCodec:
         assert g[0, 0] == 255 * 299 // 1000
         assert g[0, 1] == (10 * 299 + 20 * 587 + 30 * 114) // 1000
 
+    def test_mixed_format_pipeline_and_phash_identity(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.multimodal import (decode_gray, dhash64,
+                                                  media_feature_pipeline,
+                                                  synth_payload,
+                                                  synth_png_payload)
+
+        # same ref → same pixels → same perceptual hash, either format
+        for r in ("img://x", "img://y"):
+            a, b = decode_gray(synth_payload(r)), decode_gray(
+                synth_png_payload(r))
+            assert (a == b).all()
+            assert dhash64(a) == dhash64(b)
+        refs = ray.data.from_items(
+            [{"media_ref": f"img://{i}"} for i in range(30)])
+        out = media_feature_pipeline(refs, png_mod=2).to_pandas()
+        assert len(out) == 30
+        assert (out["width"] >= 8).all() and (out["pix_std"] > 0).all()
+
     def test_media_decode_stage_reads_real_png_pixels(self):
         from spidey_ray.functions.png import encode_png
         from spidey_ray.stages.multimodal import MediaDecodeStage, dhash64
