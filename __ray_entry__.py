@@ -879,9 +879,13 @@ def q_media_span_dedup(sf_dir: str):
     from spidey_ray.stages.spans import (span_stats_batch,
                                          strip_duplicate_media_spans)
 
+    # persist the decorated corpus once: the dedup consumes it twice
+    # (candidate exchange + rewrite), and re-running the span
+    # construction is the expensive part of the chain
     stripped = strip_duplicate_media_spans(
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(_build_shared_media_spans, batch_format="pyarrow"))
+        .map_batches(_build_shared_media_spans, batch_format="pyarrow")
+        .materialize())
 
     def summarize(t: pa.Table) -> pa.Table:
         s = span_stats_batch(t.select(["doc_id", "spans"]))

@@ -85,7 +85,8 @@ def run_queries(sf_dir: str) -> dict:
         "events_hourly", "embedding_topk", "minhash_dedup", "simhash_pairs",
         "lang_id", "approx_distinct", "sessionize", "asof_join",
         "curation_pipeline", "gopher_quality", "span_stats",
-        "heavy_hitters",
+        "heavy_hitters", "spans_render", "media_span_dedup",
+        "vlm_curation",
     ]
     qs = entry.queries()
     out = {}
