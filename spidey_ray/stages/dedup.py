@@ -468,7 +468,7 @@ def _minhash_batch(batch: pa.Table, num_perm: int, bands: int,
 
 def _explode_bands(batch: pa.Table) -> pa.Table:
     n_bands = len(batch["band_hashes"][0].as_py()) if len(batch) else 0
-    docs = np.repeat(np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64),
+    docs = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
                      n_bands)
     import pyarrow.compute as _pc
 
@@ -563,8 +563,8 @@ def banded_pairs(rows: "ray.data.Dataset", key_cols: list[str],
 
 def _pair_bucket_col(t: pa.Table, num_buckets: int) -> pa.Table:
     """Deterministic fat-bucket key over the (doc_a, doc_b) pair."""
-    a = np.asarray(t["doc_a"].to_pylist(), dtype=np.uint64)
-    b = np.asarray(t["doc_b"].to_pylist(), dtype=np.uint64)
+    a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
     with np.errstate(over="ignore"):
         h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b + np.uint64(0x165667B1))
     return t.append_column(
@@ -901,8 +901,8 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
                           batch_format="pyarrow")
 
     def explode(t: pa.Table) -> pa.Table:
-        docs = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
-        hs = np.asarray(t["simhash"].to_pylist(), dtype=np.uint64)
+        docs = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         n = len(docs)
         bands = np.tile(np.arange(4, dtype=np.int32), n)
         rep = np.repeat(hs, 4)
@@ -1084,7 +1084,7 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
 
     def explode(t: pa.Table) -> pa.Table:
         n = len(t)
-        docs = np.repeat(np.asarray(t["doc_id"].to_pylist(), dtype=np.int64), 4)
+        docs = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), 4)
         tables = np.tile(np.arange(4, dtype=np.int32), n)
         import pyarrow.compute as _pc
 
