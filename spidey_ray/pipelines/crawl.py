@@ -765,13 +765,16 @@ class CrawlEngine:
             results: dict[str, dict] = {}
             for out in ray.get(refs):
                 results.update(out)
-            # robots-approved candidates, vectorized (mask per host in the
-            # same canonical order the shards received)
-            frames = [bypass]
+            # robots-approved candidates: one global boolean mask instead
+            # of a frame slice + concat per host (each per-host mask lands
+            # at its group's positional indices, which preserve the
+            # canonical within-group order the shards received)
+            keep_mask = np.zeros(len(to_check), dtype=bool)
             sm_rows: list[tuple[str, int]] = []
-            for host, g in to_check.groupby("host", sort=False):
+            for host, idx in to_check.groupby(
+                    "host", sort=False).indices.items():
                 r = results[host]
-                frames.append(g[np.asarray(r["mask"], dtype=bool)])
+                keep_mask[idx] = np.asarray(r["mask"], dtype=bool)
                 for u in r["unchecked"] + r["checked"]:
                     sm_rows.append((u, depth_of_host[host]))
                 if r["allow_all"]:
@@ -779,7 +782,10 @@ class CrawlEngine:
                 elif r.get("robots_txt"):
                     self._host_rules[host] = r["robots_txt"]
             self._trim_host_caches()
-            cand_ok = pd.concat(frames) if frames else cand_rows.iloc[:0]
+            # row order differs from the old per-host concat, which is
+            # immaterial: add_df is canonically re-sorted before the
+            # first-seen-wins dedup below
+            cand_ok = pd.concat([bypass, to_check[keep_mask]])
             add_df = pd.DataFrame({
                 "raw_url": cand_ok["sorted_url"].values,
                 "parent_url": cand_ok["parent_url"].values,
