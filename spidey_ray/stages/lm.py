@@ -90,6 +90,11 @@ def build_backoff_model(counts: "ray.data.Dataset",
     the knob that keeps the driver-side model bounded at corpus scale
     (CCNet's KenLM is likewise a pruned artifact, not the corpus)."""
     df = counts.to_pandas()
+    if df.empty:
+        # an empty corpus yields a column-less frame; the model is the
+        # uniform α²/T floor with T=1 (scorer-safe: every position scores
+        # the unseen-word branch)
+        return {"uni": {}, "big": {}, "tri": {}, "T": 1.0}
     if min_count > 1:
         df = df[(df["level"] == 1) | (df["n"] >= min_count)]
     uni = dict(zip(df.loc[df["level"] == 1, "key"],

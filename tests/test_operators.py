@@ -1300,6 +1300,23 @@ class TestLmModelBound:
         assert pruned["T"] == full["T"]
 
 
+class TestLmEmptyCorpus:
+    def test_empty_train_corpus_yields_floor_model(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.lm import (build_backoff_model,
+                                          ngram_count_rows,
+                                          score_batch_micro)
+
+        empty = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string())}))
+        m = build_backoff_model(ngram_count_rows(empty))
+        assert m == {"uni": {}, "big": {}, "tri": {}, "T": 1.0}
+        ns, sums = score_batch_micro(["a b c d"], m)
+        assert ns[0] == 2 and sums[0] < 0   # α²/T floor per position
+
+
 class TestScoreBatchMicro:
     def test_matches_per_doc_scorer(self, ray_session):
         import ray.data
