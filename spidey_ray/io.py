@@ -41,6 +41,25 @@ def strip_schema_metadata(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None)
 
 
+_BROADCAST_CACHE: dict = {}
+
+
+def get_broadcast(ref):
+    """Per-worker one-slot memo around ``ray.get`` of a broadcast object:
+    Python payloads (dicts of arrays, models) are re-DESERIALIZED on every
+    ``ray.get`` — unlike numpy buffers, which map zero-copy — so a map
+    task fetching per batch pays the full unpickle each time.  Workers are
+    reused across tasks; keying on the ref keeps one live object per
+    worker process."""
+    import ray as _ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if _BROADCAST_CACHE.get("key") != key:
+        _BROADCAST_CACHE["key"] = key
+        _BROADCAST_CACHE["val"] = _ray.get(ref)
+    return _BROADCAST_CACHE["val"]
+
+
 def pd_to_arrow(df) -> "pa.Table":
     """pandas → Arrow with the pandas schema metadata stripped.
 

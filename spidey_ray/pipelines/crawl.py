@@ -693,8 +693,12 @@ class CrawlEngine:
                                     "n": pd.Series(dtype="int64")})
         self._round_token_partial = partial
         if self._token_part_refs is not None and len(partial):
+            # metadata-free Arrow into the object store: the pandas schema
+            # metadata is unhashable on pyarrow 16 and would flood
+            # top_tokens' downstream shuffle with schema-hash warnings
             self._token_part_refs.append(ray.put(
-                pa.Table.from_pandas(partial, preserve_index=False)))
+                pa.Table.from_pandas(partial, preserve_index=False)
+                .replace_schema_metadata(None)))
 
         # ---- documents exclusions: the stage wrote the gate-passed SUPERSET;
         # gate-suppressed pages are recorded per round and filtered at read

@@ -31,7 +31,7 @@ import ray.data
 
 from ..stages.contamination import pack_by_cost
 from ..stages.spans import (_flat_with_pos, _rebuild_spans,
-                            spans_to_text_batch,
+                            _whitespace_word_counts, spans_to_text_batch,
                             strip_duplicate_media_spans)
 from .curation import _persist
 
@@ -53,11 +53,10 @@ def gate_text_spans_batch(batch: pa.Table, spans_col: str = "spans",
         is_text = pc.equal(flat.field("kind"), "text").to_numpy(
             zero_copy_only=False)
         txt = pc.fill_null(flat.field("text"), "")
-        toks = np.where(
-            pc.greater(pc.utf8_length(txt), 0).to_numpy(
-                zero_copy_only=False),
-            pc.count_substring(txt, " ").to_numpy(zero_copy_only=False) + 1,
-            0)
+        # whitespace-word metric (str.split() semantics) — the same count
+        # spans_to_text_batch charges the packing budget with, so the
+        # gate and the budget agree on every span
+        toks = _whitespace_word_counts(txt)
         keep = ~is_text | (toks >= min_span_tokens)
         spans_arr, _dropped = _rebuild_spans(col, keep, n)
         doc_tokens = np.bincount(

@@ -295,6 +295,10 @@ class _RowGroupIndex:
         carry hundreds of ids)."""
         from bisect import bisect_left
 
+        if self._closed:
+            raise RuntimeError(
+                "_RowGroupIndex.read after close(): an empty result here "
+                "would masquerade as 'no postings' — refuse instead")
         keys = sorted(keys)
         matched = []
         for pf, stats in self.files:

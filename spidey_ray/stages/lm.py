@@ -107,21 +107,13 @@ def build_backoff_model(counts: "ray.data.Dataset",
             "T": float(sum(uni.values()))}
 
 
-_MODEL_CACHE: dict = {}
-
-
 def get_broadcast_model(ref) -> dict:
-    """Per-worker one-slot memo around ``ray.get`` of the broadcast model:
-    dict payloads are re-DESERIALIZED on every ``ray.get`` (unlike numpy
-    buffers, which map zero-copy), so a map task that fetches the model
-    per batch pays the full unpickle each time on a large model.  Workers
-    are reused across tasks; keying on the ref keeps one live model per
-    worker process."""
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    if _MODEL_CACHE.get("key") != key:
-        _MODEL_CACHE["key"] = key
-        _MODEL_CACHE["val"] = ray.get(ref)
-    return _MODEL_CACHE["val"]
+    """Per-worker one-slot memo around ``ray.get`` of the broadcast model
+    (see :func:`spidey_ray.io.get_broadcast` — dict payloads re-deserialize
+    on every plain ``ray.get``)."""
+    from ..io import get_broadcast
+
+    return get_broadcast(ref)
 
 
 def _micro_cascade(n3, nctx, n2, n1b, n1w, T) -> np.ndarray:

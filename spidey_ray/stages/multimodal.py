@@ -41,13 +41,30 @@ MEDIA_SCHEMA = pa.schema(
 _MAGIC = b"FAKEIMG1"
 
 
+def _synth_pixels(digest: bytes) -> np.ndarray:
+    """The shared deterministic pixel recipe: sha1 digest → (h, w) gray
+    array.  Both payload formats draw from this, so a ref's pixels — and
+    hence its perceptual hash — are identical whichever format ships."""
+    w, ht = 8 + digest[0] % 24, 8 + digest[1] % 24
+    rng = np.random.default_rng(int.from_bytes(digest[:4], "big"))
+    return rng.integers(0, 256, size=(ht, w), dtype=np.uint8)
+
+
+def _fake_from_digest(digest: bytes) -> bytes:
+    px = _synth_pixels(digest)
+    ht, w = px.shape
+    return _MAGIC + struct.pack("<HH", w, ht) + px.tobytes()
+
+
+def _png_from_digest(digest: bytes) -> bytes:
+    from ..functions.png import encode_png
+
+    return encode_png(_synth_pixels(digest), filters=4)
+
+
 def synth_payload(media_ref: str) -> bytes:
     """Deterministic fake image payload: magic + w + h + w*h gray bytes."""
-    h = hashlib.sha1(media_ref.encode()).digest()
-    w, ht = 8 + h[0] % 24, 8 + h[1] % 24
-    rng = np.random.default_rng(int.from_bytes(h[:4], "big"))
-    pixels = rng.integers(0, 256, size=w * ht, dtype=np.uint8)
-    return _MAGIC + struct.pack("<HH", w, ht) + pixels.tobytes()
+    return _fake_from_digest(hashlib.sha1(media_ref.encode()).digest())
 
 
 def synth_png_payload(media_ref: str) -> bytes:
@@ -55,13 +72,7 @@ def synth_png_payload(media_ref: str) -> bytes:
     :func:`synth_payload`, encoded through the stdlib codec with the
     Paeth filter) — lets pipelines exercise the real-pixels decode path
     without any optional wheel."""
-    from ..functions.png import encode_png
-
-    h = hashlib.sha1(media_ref.encode()).digest()
-    w, ht = 8 + h[0] % 24, 8 + h[1] % 24
-    rng = np.random.default_rng(int.from_bytes(h[:4], "big"))
-    pixels = rng.integers(0, 256, size=(ht, w), dtype=np.uint8)
-    return encode_png(pixels, filters=4)
+    return _png_from_digest(hashlib.sha1(media_ref.encode()).digest())
 
 
 def media_payload_batch(batch: pa.Table, ref_col: str = "media_ref",
@@ -69,13 +80,14 @@ def media_payload_batch(batch: pa.Table, ref_col: str = "media_ref",
     """media_ref → payload.  ``png_mod`` > 0 emits a real PNG for every
     ``png_mod``-th ref (by stable ref hash) and FAKEIMG for the rest, so
     a pipeline sees a MIX of codec paths — the realistic shape of a
-    crawled corpus."""
+    crawled corpus.  One sha1 per ref: the format decision and the pixel
+    draw share the digest."""
     refs = batch[ref_col].to_pylist()
+    digests = [hashlib.sha1(r.encode()).digest() for r in refs]
     payloads = [
-        synth_png_payload(r)
-        if png_mod and hashlib.sha1(r.encode()).digest()[-1] % png_mod == 0
-        else synth_payload(r)
-        for r in refs]
+        _png_from_digest(d) if png_mod and d[-1] % png_mod == 0
+        else _fake_from_digest(d)
+        for d in digests]
     kinds = ["image"] * len(refs)
     return pa.table({
         "media_ref": pa.array(refs, type=pa.string()),

@@ -120,6 +120,19 @@ def _flat_with_pos(col: pa.Array):
     return flat, parent, pos, lens
 
 
+def _whitespace_word_counts(txt: pa.Array) -> np.ndarray:
+    """Per-string whitespace word count with exact ``str.split()``
+    semantics, vectorized: ``utf8_split_whitespace`` handles newlines and
+    space runs but emits EMPTY items for empty / all-whitespace strings —
+    count only the non-empty pieces."""
+    parts = pc.utf8_split_whitespace(txt)
+    items = pc.list_flatten(parts)
+    ppar = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    nonempty = pc.greater(pc.utf8_length(items), 0).to_numpy(
+        zero_copy_only=False)
+    return np.bincount(ppar[nonempty], minlength=len(txt)).astype(np.int64)
+
+
 def spans_to_text_batch(batch: pa.Table, spans_col: str = "spans",
                         id_col: str = "doc_id",
                         media_token: str = "<|image|>",
@@ -133,7 +146,11 @@ def spans_to_text_batch(batch: pa.Table, spans_col: str = "spans",
     Integer-exact sequence cost rides along:
     ``n_positions = n_text_tokens + media_tokens · n_media_spans`` —
     the budget number a packing stage consumes (image spans cost a fixed
-    patch-token budget in real VLM tokenizers).
+    patch-token budget in real VLM tokenizers).  The text-token metric is
+    WHITESPACE WORDS (``str.split()`` semantics, vectorized as
+    ``utf8_split_whitespace``): robust to newlines and space runs, and a
+    whitespace-only span counts 0 — it neither renders nor charges the
+    budget.
 
     Pure map; the only per-doc Python is one ``' '.join`` per document
     (pandas groupby-agg), every predicate/count is an Arrow/numpy kernel.
@@ -143,19 +160,15 @@ def spans_to_text_batch(batch: pa.Table, spans_col: str = "spans",
     n = len(batch)
     if len(flat):
         is_text = pc.equal(flat.field("kind"), "text")
-        piece = pc.if_else(is_text, pc.fill_null(flat.field("text"), ""),
-                           media_token)
-        nonempty = pc.greater(pc.utf8_length(piece), 0).to_numpy(
-            zero_copy_only=False)
-        joined = (pd.Series(piece.to_pandas()[nonempty])
-                  .groupby(parent[nonempty]).agg(" ".join))
-        rendered = joined.reindex(range(n)).fillna("").to_numpy(dtype=object)
         is_text_np = is_text.to_numpy(zero_copy_only=False)
-        # token count of a chunk built by ' '.join(tokens): spaces + 1
-        txt_toks = np.where(
-            nonempty & is_text_np,
-            pc.count_substring(piece, " ").to_numpy(zero_copy_only=False) + 1,
-            0)
+        txt = pc.fill_null(flat.field("text"), "")
+        words = _whitespace_word_counts(txt)
+        txt_toks = np.where(is_text_np, words, 0)
+        piece = pc.if_else(is_text, txt, media_token)
+        keep_piece = np.where(is_text_np, txt_toks > 0, True)
+        joined = (pd.Series(piece.to_pandas()[keep_piece])
+                  .groupby(parent[keep_piece]).agg(" ".join))
+        rendered = joined.reindex(range(n)).fillna("").to_numpy(dtype=object)
         n_text = np.bincount(parent, weights=txt_toks,
                              minlength=n).astype(np.int64)
         n_media = np.bincount(parent[~is_text_np], minlength=n).astype(
@@ -281,7 +294,9 @@ def strip_duplicate_media_spans(ds: "ray.data.Dataset",
                              for d, v in by_doc.items()})
 
         def strip(batch: pa.Table) -> pa.Table:
-            lookup = _ray.get(drop_ref)
+            from ..io import get_broadcast
+
+            lookup = get_broadcast(drop_ref)   # one unpickle per worker
             col = batch[spans_col].combine_chunks()
             _flat, _parent, _pos, lens = _flat_with_pos(col)
             starts = np.cumsum(lens) - lens

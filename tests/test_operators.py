@@ -1080,6 +1080,31 @@ class TestInterleavedTransforms:
         # n_positions = text tokens + 4 per media span
         assert r["n_positions"].to_pylist() == [15, 6, 0]
 
+    def test_word_metric_matches_str_split(self):
+        import pyarrow as pa_
+
+        from spidey_ray.stages.round_stage import SPAN_TYPE
+        from spidey_ray.stages.spans import (_whitespace_word_counts,
+                                             spans_to_text_batch)
+
+        cases = ["a b", "a  b", "a\nb\tc", "   ", "", " x ", "one"]
+        got = _whitespace_word_counts(pa_.array(cases)).tolist()
+        assert got == [len(c.split()) for c in cases]
+        # whitespace-only text span: renders nothing, charges nothing
+        t = pa_.table({
+            "doc_id": pa_.array([0], type=pa_.int64()),
+            "spans": pa_.array([[
+                {"kind": "text", "text": "hello\nworld  now",
+                 "media_ref": "", "offset": 0},
+                {"kind": "text", "text": "   ", "media_ref": "",
+                 "offset": 1},
+                {"kind": "image", "text": "", "media_ref": "m",
+                 "offset": 2}]], type=SPAN_TYPE)})
+        r = spans_to_text_batch(t)
+        assert r["n_text_tokens"][0].as_py() == 3
+        assert r["rendered_text"][0].as_py() == "hello\nworld  now <|image|>"
+        assert r["n_positions"][0].as_py() == 7
+
     def test_media_dedup_keep_first_both_branches(self, ray_session):
         import ray.data
 
