@@ -1412,6 +1412,40 @@ def q_embedding_dup_pairs(sf_dir: str):
         emb.map_batches(plant, batch_format="pyarrow"), threshold=0.95)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup over the embeddings table with the same
+    planted near-dup copies as ``embedding_dup_pairs`` — the cluster-then-
+    dedup pass must drop exactly one side of each planted pair.  Rows-only
+    (k-means isn't SQL-expressible); pinned by the numpy-mirror pytest
+    (``TestSemDedup``)."""
+    from spidey_ray.stages.similarity import semdedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        vecs = t["embedding"].to_pylist()
+        rng = np.random.default_rng(7)
+        add_ids, add_vecs = [], []
+        for d, v in zip(ids, vecs):
+            if d % 100 == 0:
+                noisy = np.asarray(v, dtype=np.float32)
+                noisy = noisy + rng.normal(0, 0.01, size=len(noisy)).astype(
+                    np.float32)
+                add_ids.append(d + 1_000_000)
+                add_vecs.append(noisy.tolist())
+        return pa.table({
+            "vec_id": pa.array(ids + add_ids, type=pa.int64()),
+            "embedding": pa.array(vecs + add_vecs, type=pa.list_(pa.float32())),
+        })
+
+    survivors = semdedup(emb.map_batches(plant, batch_format="pyarrow"),
+                         n_clusters=8, eps=0.95)
+    out = survivors.select_columns(["vec_id"]).to_pandas()
+    return pa.table({"vec_id": pa.array(sorted(out["vec_id"]),
+                                        type=pa.int64())})
+
+
 def q_lang_id(sf_dir: str):
     from spidey_ray.stages.textstats import language_id_batch
 
@@ -1703,6 +1737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "semdedup": q_semdedup,
         "pack_sequences": q_pack_sequences,
         "approx_quantiles": q_approx_quantiles,
         "approx_distinct": q_approx_distinct,

@@ -24,6 +24,26 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def spherical_kmeans(x: np.ndarray, k: int, seed: int = 42,
+                     iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means over UNIT row vectors: seeded
+    choice init, argmax-cosine assignment, re-normalized mean update.
+    Shared by ``IvfIndex`` (coarse quantizer) and ``semdedup`` (cluster
+    stage) so both sides of a test can reproduce identical centroids."""
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    c[j] = m / n
+    return c
+
+
 def cosine_topk(ds: "ray.data.Dataset", query_vecs: np.ndarray, k: int = 10,
                 emb_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
     """Exact top-k by cosine for each query row. Returns
@@ -252,18 +272,7 @@ class IvfIndex:
         self._block_lists: list[set] = []
 
     def _kmeans(self, x: np.ndarray, iters: int = 10) -> np.ndarray:
-        rng = np.random.default_rng(self.seed)
-        c = x[rng.choice(len(x), size=min(self.n_lists, len(x)), replace=False)]
-        for _ in range(iters):
-            assign = np.argmax(x @ c.T, axis=1)          # cosine on unit vecs
-            for j in range(len(c)):
-                members = x[assign == j]
-                if len(members):
-                    m = members.mean(axis=0)
-                    n = np.linalg.norm(m)
-                    if n > 0:
-                        c[j] = m / n
-        return c
+        return spherical_kmeans(x, self.n_lists, seed=self.seed, iters=iters)
 
     def build(self, ds: "ray.data.Dataset", emb_col: str = "embedding",
               id_col: str = "vec_id", sample_fraction: float = 0.25,
@@ -532,3 +541,154 @@ class HnswIndex:
         allhits = [h for p in parts for h in p]
         allhits.sort(key=lambda x: (-x[1], x[0]))
         return allhits[:k]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-cluster) deduplication
+# ---------------------------------------------------------------------------
+
+
+def greedy_centroid_dedup(unit: np.ndarray, eps: float,
+                          chunk: int = 8192) -> np.ndarray:
+    """Exact greedy keep-first over unit rows ALREADY in priority order:
+    row i survives iff no earlier SURVIVING row has cosine > ``eps`` with
+    it.  Vectorized in chunks — each chunk scores against the kept set
+    with one matmul plus its own pairwise matrix, and the sequential walk
+    only touches rows still alive (dup-heavy clusters converge in a few
+    kept rows).  O(m·kept) FLOPs, O(chunk²) peak memory."""
+    m = len(unit)
+    keep = np.zeros(m, dtype=bool)
+    kept: list[int] = []
+    for s in range(0, m, chunk):
+        blk = unit[s:s + chunk]
+        if kept:
+            alive = (blk @ unit[kept].T).max(axis=1) <= eps
+        else:
+            alive = np.ones(len(blk), dtype=bool)
+        inner = blk @ blk.T
+        for j in range(len(blk)):
+            if not alive[j]:
+                continue
+            keep[s + j] = True
+            kept.append(s + j)
+            alive &= ~(inner[j] > eps)   # kills j too (self-sim 1 > eps)
+    return keep
+
+
+def _train_sample(ds: "ray.data.Dataset", emb_col: str, id_col: str,
+                  train_cap: int) -> np.ndarray:
+    """Deterministic bounded k-means training set: the ``train_cap``
+    vectors with the smallest (splitmix64(id), id) rank.  Each block emits
+    its own top-``train_cap`` partial (map_batches), the driver merges the
+    tiny partials — the result is independent of block layout and never
+    corpus-sized on the driver."""
+    from .dedup import _mix64
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        rank = _mix64(ids.astype(np.uint64))
+        if len(ids) > train_cap:
+            idx = np.lexsort((ids, rank))[:train_cap]
+        else:
+            idx = np.arange(len(ids))
+        emb = batch[emb_col].take(pa.array(idx, type=pa.int64()))
+        return pa.table({
+            "rank": pa.array(rank[idx], type=pa.uint64()),
+            "id": pa.array(ids[idx], type=pa.int64()),
+            "emb": emb,
+        })
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return np.empty((0, 0))
+    order = np.lexsort((parts["id"].to_numpy(),
+                        parts["rank"].to_numpy()))[:train_cap]
+    return _unit(np.array(parts["emb"].to_numpy()[order].tolist(),
+                          dtype=np.float64))
+
+
+def semdedup(ds: "ray.data.Dataset", n_clusters: int = 16, eps: float = 0.95,
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             seed: int = 42, train_cap: int = 65536, kmeans_iters: int = 10,
+             broadcast_limit: int = 2_000_000) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540): k-means
+    over the embeddings, then deduplicate WITHIN each cluster only — the
+    pairwise-cosine cost drops from O(n²) to Σ O(|cluster|²) and every
+    cluster dedups in its own shuffle-partitioned task.
+
+    Deterministic at any block layout: centroids train on the
+    ``train_cap`` smallest-splitmix64-rank vectors via
+    :func:`spherical_kmeans`; assignment is argmax cosine (ties → lowest
+    centroid index); survivors follow the paper's keep-farthest-from-
+    centroid rule — members sort by (cosine-to-centroid asc, id asc) and a
+    row survives iff no earlier survivor exceeds ``eps`` cosine
+    (:func:`greedy_centroid_dedup`).
+
+    Scale posture mirrors :func:`~spidey_ray.stages.dedup.minhash_dedup`:
+    one groupby shuffle on the cluster id, per-cluster drop lists (only
+    duplicates leave a cluster task), broadcast survivor filter while the
+    drop set is small, streaming anti-join beyond ``broadcast_limit``.
+    Skewed giant clusters stay O(m·kept): raise ``n_clusters`` to shrink
+    m — the paper runs k≈sqrt(n).
+
+    Returns the surviving rows of ``ds`` with all original columns."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    train = _train_sample(ds, emb_col, id_col, train_cap)
+    if len(train) == 0:
+        return ds
+    centroids = spherical_kmeans(train, n_clusters, seed=seed,
+                                 iters=kmeans_iters)
+    c_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        mat = _unit(np.array(batch[emb_col].to_pylist(), dtype=np.float64))
+        sims = mat @ c.T
+        lst = np.argmax(sims, axis=1)
+        return pa.table({
+            "list_id": pa.array(lst.astype(np.int32)),
+            "id": pc.cast(batch[id_col], pa.int64()),
+            "cos_c": pa.array(sims[np.arange(len(mat)), lst]),
+            "unit": pa.array([r.tolist() for r in mat],
+                             type=pa.list_(pa.float64())),
+        })
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["id"].to_numpy()
+        order = np.lexsort((ids, g["cos_c"].to_numpy()))
+        u = np.array(g["unit"].tolist(), dtype=np.float64)[order]
+        keep = greedy_centroid_dedup(u, eps)
+        return pd.DataFrame({"id": ids[order][~keep].astype(np.int64)})
+
+    drops = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("list_id")
+        .map_groups(per_cluster, batch_format="pandas")
+        .materialize()
+    )
+
+    if drops.count() <= broadcast_limit:
+        drop_ids = sorted(
+            x for b in drops.iter_batches(batch_format="pyarrow",
+                                          batch_size=65536)
+            for x in b["id"].to_pylist())
+        drop_ref = ray.put(pa.array(drop_ids, type=pa.int64()))
+
+        def filt(t: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            return t.filter(pc.invert(pc.is_in(
+                pc.cast(t[id_col], pa.int64()), value_set=d)))
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    from .joins import anti_join
+
+    def ren(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t["id"]})
+
+    return anti_join(ds, drops.map_batches(ren, batch_format="pyarrow"),
+                     on=id_col)

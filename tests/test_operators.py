@@ -227,6 +227,103 @@ class TestEmbeddingOps:
         assert ann == exact
 
 
+class TestSemDedup:
+    """SemDeDup (similarity.py:semdedup) vs a pure-numpy mirror of the
+    same deterministic spec — rank-capped train sample, spherical
+    k-means, argmax assignment, keep-farthest-from-centroid greedy."""
+
+    @pytest.fixture(scope="class")
+    def sem_corpus(self):
+        rng = np.random.default_rng(11)
+        ids, vecs, groups = [], [], []
+        nid = 0
+        for g in range(3):                       # 3 planted dup groups of 5
+            base = rng.standard_normal(16)
+            members = []
+            for _ in range(5):
+                ids.append(nid)
+                members.append(nid)
+                nid += 1
+                vecs.append(base + rng.normal(0, 0.005, 16))
+            groups.append(members)
+        for _ in range(40):                      # singles
+            ids.append(nid)
+            nid += 1
+            vecs.append(rng.standard_normal(16))
+        perm = rng.permutation(len(ids))
+        ids = np.asarray(ids, dtype=np.int64)[perm]
+        vecs = np.asarray(vecs, dtype=np.float64)[perm]
+        return ids, vecs, groups
+
+    @staticmethod
+    def _np_oracle(ids, vecs, n_clusters, eps, seed=42, train_cap=65536):
+        from spidey_ray.stages.dedup import _mix64
+        from spidey_ray.stages.similarity import (
+            _unit, greedy_centroid_dedup, spherical_kmeans)
+
+        u = _unit(vecs)
+        rank = _mix64(ids.astype(np.uint64))
+        train = u[np.lexsort((ids, rank))[:train_cap]]
+        c = spherical_kmeans(train, n_clusters, seed=seed)
+        sims = u @ c.T
+        lst = sims.argmax(axis=1)
+        cosc = sims[np.arange(len(u)), lst]
+        keep_ids = []
+        for cl in np.unique(lst):
+            m = lst == cl
+            o = np.lexsort((ids[m], cosc[m]))
+            k = greedy_centroid_dedup(u[m][o], eps)
+            keep_ids.extend(ids[m][o][k].tolist())
+        return sorted(keep_ids)
+
+    def test_matches_numpy_oracle_any_layout(self, ray_session, sem_corpus):
+        import ray.data
+
+        from spidey_ray.stages.similarity import semdedup
+
+        ids, vecs, groups = sem_corpus
+        expected = self._np_oracle(ids, vecs, n_clusters=6, eps=0.9)
+        ds = ray.data.from_items(
+            [{"vec_id": int(i), "embedding": v.tolist()}
+             for i, v in zip(ids, vecs)])
+        for layout in (ds, ds.repartition(7)):
+            out = semdedup(layout, n_clusters=6, eps=0.9).to_pandas()
+            assert sorted(out["vec_id"]) == expected
+        # each planted group collapses to exactly one survivor
+        surv = set(expected)
+        for members in groups:
+            assert len(surv & set(members)) == 1
+
+    def test_greedy_chunk_boundary(self):
+        from spidey_ray.stages.similarity import greedy_centroid_dedup
+
+        # rows in priority order: dup pair split across chunks (0 and 3),
+        # plus orthogonal singles — chunk=2 forces the cross-chunk matmul
+        u = np.array([
+            [1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [0.9999, 0.0141, 0.0],   # ~cos 0.9999 with row 0
+        ])
+        u = u / np.linalg.norm(u, axis=1, keepdims=True)
+        keep = greedy_centroid_dedup(u, eps=0.95, chunk=2)
+        assert keep.tolist() == [True, True, True, False]
+
+    def test_anti_join_path_identical(self, ray_session, sem_corpus):
+        import ray.data
+
+        from spidey_ray.stages.similarity import semdedup
+
+        ids, vecs, _ = sem_corpus
+        ds = ray.data.from_items(
+            [{"vec_id": int(i), "embedding": v.tolist()}
+             for i, v in zip(ids, vecs)])
+        bc = semdedup(ds, n_clusters=6, eps=0.9).to_pandas()
+        aj = semdedup(ds, n_clusters=6, eps=0.9,
+                      broadcast_limit=0).to_pandas()
+        assert sorted(bc["vec_id"]) == sorted(aj["vec_id"])
+
+
 class TestTextStats:
     def test_language_id_on_real_samples(self):
         # the driver testdata's lang column is synthetic (all rows are
