@@ -24,7 +24,8 @@ import ray.data
 
 from ..io import pd_to_arrow
 
-from ..functions.simhash import (hamming_popcount, simhash64, token_hash64,
+from ..functions.simhash import (hamming_popcount, simhash64,
+                                 simhash64_block, token_hash64,
                                  token_hash64_cached)
 from .textstats import tokens_of
 
@@ -883,10 +884,11 @@ def minhash_dedup(ds: "ray.data.Dataset", threshold: float = 0.8,
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    from collections import Counter
-
-    hs = [simhash64(Counter(tokens_of(t)))
-          for t in batch[text_col].to_pylist()]
+    """Block-vectorized simhash signatures: tokenize per doc (C regex),
+    then one factorize + hash-gather + segment-sum for the whole block
+    (functions/simhash.py:simhash64_block) instead of a per-doc Counter."""
+    hs = simhash64_block([tokens_of(t)
+                          for t in batch[text_col].to_pylist()])
     return pa.table({
         "doc_id": batch["doc_id"],
         "simhash": pa.array(hs, type=pa.uint64()),
