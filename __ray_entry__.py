@@ -864,6 +864,25 @@ def q_spans_render(sf_dir: str):
             .map_batches(spans_to_text_batch, batch_format="pyarrow"))
 
 
+def q_chunk_interleaved(sf_dir: str):
+    """Context-window chunking of interleaved docs (stages/spans.py:
+    chunk_interleaved_batch): greedy first-fit split of each span sequence
+    into chunks of total position cost ≤ 16 (text spans cost their
+    whitespace word count, media spans 4 — the same budget metric as the
+    render/packing stages), spans atomic, oversize spans as singleton
+    chunks.  Output pins the boundaries exactly (span_start, n_spans,
+    n_positions per chunk); the oracle replays the same greedy walk as a
+    recursive CTE over the construction-arithmetic cost stream."""
+    from spidey_ray.stages.spans import chunk_interleaved_batch
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(_build_interleaved_spans, batch_format="pyarrow")
+            .map_batches(chunk_interleaved_batch, batch_format="pyarrow",
+                         fn_kwargs={"budget": 16})
+            .map_batches(lambda t: t.drop_columns(["spans"]),
+                         batch_format="pyarrow"))
+
+
 def _build_shared_media_spans(t: pa.Table) -> pa.Table:
     """The q_media_span_dedup construction: same 8-token text chunks as
     _build_interleaved_spans, but media refs drawn from a SHARED pool
@@ -1690,7 +1709,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_events_hopping,
         "asof_join": q_asof_join,
-        "quality_stop_ratio": q_quality_stop_ratio,
         # interleaved-span analytics + transforms (SQL-checked; rotated
         # INTO the window round 5 in place of url_canonicalize /
         # url_query_sort / url_valid_filter — pure urltools maps, pytest-
@@ -1700,6 +1718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_refs": q_media_refs,
         "spans_render": q_spans_render,
         "media_span_dedup": q_media_span_dedup,
+        "chunk_interleaved": q_chunk_interleaved,
         # embeddings
         "embedding_topk": q_embedding_topk,
         "filtered_ann": q_filtered_ann,
@@ -1723,12 +1742,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q_gopher_quality,
         # --- entries past the driver's 50-slot verdict window.  The 50
         # slots above this line are ALL SQL-oracle entries;
-        # url_canonicalize / url_query_sort below ALSO carry full SQL
-        # oracles (validated by tools/check_entry.py, which checks oracles
-        # at any position, and green in CORRECTNESS_r04); the rest are
+        # url_canonicalize / url_query_sort / quality_stop_ratio below ALSO
+        # carry full SQL oracles (validated by tools/check_entry.py, which
+        # checks oracles at any position; the first two green in
+        # CORRECTNESS_r04, quality_stop_ratio displaced round 5 by
+        # chunk_interleaved — the lang_id / doc_token_stats pure-text-map
+        # family keeps its in-window representatives); the rest are
         # rows-only, covered by pytest ---
         "url_canonicalize": q_url_canonicalize,
         "url_query_sort": q_url_query_sort,
+        "quality_stop_ratio": q_quality_stop_ratio,
         "url_valid_filter": q_url_valid_filter,
         "sort_limit": q_sort_limit,
         "heavy_hitters": q_heavy_hitters,
@@ -2326,6 +2349,68 @@ def oracle_sql() -> dict[str, str]:
             from base b
             left join agg a using (doc_id)
             join med m using (doc_id)
+        """,
+        # context-window chunking of the same construction: the oracle
+        # replays the engine's greedy first-fit walk as a recursive CTE —
+        # per-span costs from the construction arithmetic (text span i
+        # costs min(8, L−8i) words, media 4), each recursion step closes
+        # one chunk via the max-s-with-csum≤start+16 scalar subquery (the
+        # `or s = start` arm is the oversize-singleton rule).
+        "chunk_interleaved": rf"""
+            with recursive
+            tok as (select doc_id, {_TOKEN_SQL} as toks from documents),
+            base as (select doc_id,
+                            greatest(1, cast(ceil(len(toks) / 8.0) as int))
+                                as n_chunks,
+                            len(toks) as L
+                     from tok),
+            raw as (
+                select doc_id, i, 0 as sub,
+                       cast(greatest(0, least(8, L - 8 * i)) as bigint)
+                           as cost
+                from base, unnest(generate_series(0, n_chunks - 1)) as t(i)
+                union all
+                select doc_id, i, 1 as sub, cast(4 as bigint) as cost
+                from base, unnest(generate_series(0, n_chunks - 1)) as t(i)
+                where (doc_id + i) % 5 = 0),
+            ordered as (
+                select doc_id,
+                       row_number() over (partition by doc_id
+                                          order by i, sub) - 1 as s,
+                       sum(cost) over (partition by doc_id
+                                       order by i, sub) as csum,
+                       count(*) over (partition by doc_id) as n
+                from raw),
+            bounds as (
+                select doc_id, 0 as k, cast(0 as bigint) as start_s,
+                       cast(0 as bigint) as start_c, n
+                from ordered where s = 0
+                union all
+                select b.doc_id, b.k + 1,
+                    (select max(o.s) from ordered o
+                      where o.doc_id = b.doc_id and o.s >= b.start_s
+                        and (o.csum <= b.start_c + 16 or o.s = b.start_s))
+                        + 1,
+                    (select max(o.csum) from ordered o
+                      where o.doc_id = b.doc_id and o.s >= b.start_s
+                        and (o.csum <= b.start_c + 16 or o.s = b.start_s)),
+                    b.n
+                from bounds b
+                where (select max(o.s) from ordered o
+                        where o.doc_id = b.doc_id and o.s >= b.start_s
+                          and (o.csum <= b.start_c + 16
+                               or o.s = b.start_s)) + 1 < b.n)
+            select b.doc_id, cast(b.k as bigint) as chunk_id,
+                   b.start_s as span_start,
+                   cast((select max(o.s) from ordered o
+                     where o.doc_id = b.doc_id and o.s >= b.start_s
+                       and (o.csum <= b.start_c + 16 or o.s = b.start_s))
+                     - b.start_s + 1 as bigint) as n_spans,
+                   cast((select max(o.csum) from ordered o
+                     where o.doc_id = b.doc_id and o.s >= b.start_s
+                       and (o.csum <= b.start_c + 16 or o.s = b.start_s))
+                     - b.start_c as bigint) as n_positions
+            from bounds b
         """,
         # keep-first media dedup over the SHARED-ref construction
         # ('media://{{(d+2i)%11}}/{{i%3}}'): corpus-wide first occurrence in

@@ -187,6 +187,98 @@ def spans_to_text_batch(batch: pa.Table, spans_col: str = "spans",
 
 
 # ---------------------------------------------------------------------------
+# context-window chunking: split long interleaved docs at span boundaries
+# ---------------------------------------------------------------------------
+
+
+def chunk_interleaved_batch(batch: pa.Table, spans_col: str = "spans",
+                            id_col: str = "doc_id",
+                            budget: int = 1024,
+                            media_tokens: int = 4) -> pa.Table:
+    """Split each interleaved doc into CHUNKS of consecutive spans whose
+    total position cost fits ``budget`` — the context-window prep step of
+    a VLM training pipeline (greedy first-fit in stored span order; spans
+    are atomic, media spans cost a fixed ``media_tokens`` patch budget,
+    text spans their whitespace word count, the same metric as
+    ``spans_to_text_batch`` so chunking and packing agree).  A single span
+    costlier than the budget forms its own over-budget singleton chunk
+    (documented: spans are never split).
+
+    One output row per chunk: ``(doc_id, chunk_id, span_start, n_spans,
+    n_positions, spans)``; ``span_start`` is the chunk's first span
+    ordinal within its doc, so boundaries are pinned exactly.  Docs with
+    zero spans yield zero chunks.
+
+    Vectorized greedy: chunk boundaries come from ``np.searchsorted`` on
+    the global flat cost cumsum, ONE round per chunk depth (all docs
+    advance together), so no Python touches a span; the output spans
+    column is a pure re-offsetting of the same flat struct values
+    (chunks tile the flat stream contiguously in (doc, chunk) order —
+    zero copy of the span payloads).
+    """
+    col = batch[spans_col].combine_chunks()
+    flat, _parent, _pos, lens = _flat_with_pos(col)
+    n = len(batch)
+    doc_starts = np.cumsum(lens) - lens
+    doc_ends = doc_starts + lens
+    total = int(lens.sum())
+    if total:
+        is_text = pc.equal(flat.field("kind"), "text").to_numpy(
+            zero_copy_only=False)
+        words = _whitespace_word_counts(pc.fill_null(flat.field("text"), ""))
+        cost = np.where(is_text, words, media_tokens).astype(np.int64)
+        C = np.cumsum(cost)
+    else:
+        cost = np.zeros(0, dtype=np.int64)
+        C = cost
+
+    # greedy rounds: every still-open doc emits its next chunk per round
+    chunk_doc, chunk_start, chunk_end = [], [], []
+    cur = doc_starts.copy()
+    active = np.nonzero(cur < doc_ends)[0]
+    while len(active):
+        s = cur[active]
+        base = C[s] - cost[s]                 # cumsum before the chunk
+        b = np.searchsorted(C, base + budget, side="right")
+        b = np.minimum(b, doc_ends[active])   # never cross the doc
+        b = np.maximum(b, s + 1)              # oversize span: singleton
+        chunk_doc.append(active)
+        chunk_start.append(s)
+        chunk_end.append(b)
+        cur[active] = b
+        active = active[b < doc_ends[active]]
+
+    if chunk_doc:
+        cd = np.concatenate(chunk_doc)
+        cs = np.concatenate(chunk_start)
+        ce = np.concatenate(chunk_end)
+        order = np.lexsort((cs, cd))          # (doc, chunk) order
+        cd, cs, ce = cd[order], cs[order], ce[order]
+    else:
+        cd = cs = ce = np.zeros(0, dtype=np.int64)
+
+    # chunks tile the flat stream contiguously: offsets = [0, ends...]
+    offsets = np.concatenate(([0], ce)).astype(np.int32)
+    spans_arr = pa.ListArray.from_arrays(pa.array(offsets), flat)
+    n_chunks_per_doc = np.bincount(cd, minlength=n).astype(np.int64)
+    chunk_id = (np.arange(len(cd), dtype=np.int64)
+                - np.repeat(np.cumsum(n_chunks_per_doc)
+                            - n_chunks_per_doc, n_chunks_per_doc))
+    base_at = C[cs] - cost[cs] if len(cs) else np.zeros(0, dtype=np.int64)
+    n_positions = (C[ce - 1] - base_at if len(ce)
+                   else np.zeros(0, dtype=np.int64))
+    ids = batch[id_col].take(pa.array(cd, type=pa.int64()))
+    return pa.table({
+        id_col: ids,
+        "chunk_id": pa.array(chunk_id),
+        "span_start": pa.array(cs - doc_starts[cd]),
+        "n_spans": pa.array(ce - cs),
+        "n_positions": pa.array(n_positions),
+        spans_col: spans_arr,
+    })
+
+
+# ---------------------------------------------------------------------------
 # corpus-wide media dedup at the SPAN level
 # ---------------------------------------------------------------------------
 

@@ -1037,6 +1037,130 @@ class TestSpanStats:
         assert out["offset"].to_pylist() == [1, 3, 0]
 
 
+class TestChunkInterleaved:
+    """chunk_interleaved_batch ≡ a per-doc greedy mirror: first-fit chunks
+    in stored span order, text cost = whitespace words, media cost = 4,
+    oversize spans form singleton chunks."""
+
+    @staticmethod
+    def _mirror(spans, budget, media_tokens=4):
+        def cost(s):
+            return (len(s["text"].split()) if s["kind"] == "text"
+                    else media_tokens)
+        chunks, cur, acc = [], [], 0
+        for s in spans:
+            c = cost(s)
+            if cur and acc + c > budget:
+                chunks.append((cur, acc))
+                cur, acc = [], 0
+            cur.append(s)
+            acc += c
+        if cur:
+            chunks.append((cur, acc))
+        return chunks
+
+    def _spans_table(self, docs):
+        import pyarrow as pa
+
+        from spidey_ray.stages.round_stage import SPAN_TYPE
+
+        return pa.table({
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "spans": pa.array([s for _, s in docs], type=SPAN_TYPE),
+        })
+
+    def _check(self, docs, budget):
+        from spidey_ray.stages.spans import chunk_interleaved_batch
+
+        out = chunk_interleaved_batch(self._spans_table(docs), budget=budget)
+        got = {}
+        for r in out.to_pylist():
+            got.setdefault(r["doc_id"], []).append(r)
+        for d, spans in docs:
+            exp = self._mirror(spans, budget)
+            rows = got.get(d, [])
+            assert len(rows) == len(exp), (d, rows, exp)
+            start = 0
+            for k, (row, (chunk, acc)) in enumerate(zip(rows, exp)):
+                assert row["chunk_id"] == k
+                assert row["span_start"] == start
+                assert row["n_spans"] == len(chunk)
+                assert row["n_positions"] == acc
+                assert row["spans"] == chunk
+                start += len(chunk)
+        # chunks tile the input: concatenated chunk spans == original spans
+        flat_out = [s for r in out.to_pylist() for s in r["spans"]]
+        flat_in = [s for _, spans in docs for s in spans]
+        assert flat_out == flat_in
+
+    def test_hand_cases(self):
+        def t(txt, off):
+            return {"kind": "text", "text": txt, "media_ref": "",
+                    "offset": off}
+
+        def m(ref, off):
+            return {"kind": "image", "text": "", "media_ref": ref,
+                    "offset": off}
+
+        docs = [
+            (0, [t("a b c", 0), m("r1", 1), t("d e", 2)]),   # 3+4+2 @ B=7
+            (1, [t("one two three four five six seven eight nine", 0)]),
+            (2, []),                                          # zero chunks
+            (3, [t("", 0), m("r2", 1)]),                      # empty text
+            (4, [m("x", 0), m("y", 1), m("z", 2)]),           # media only
+            (5, [t("  ", 0), t("w", 1)]),                     # ws-only span
+        ]
+        self._check(docs, budget=7)
+        self._check(docs, budget=1)    # every span oversize → singletons
+        self._check(docs, budget=100)  # everything fits → one chunk/doc
+
+    def test_random_matches_mirror(self):
+        rng = np.random.default_rng(29)
+        vocab = [f"w{i}" for i in range(40)]
+        docs = []
+        for d in range(120):
+            spans = []
+            for j in range(int(rng.integers(0, 14))):
+                if rng.random() < 0.3:
+                    spans.append({"kind": "image", "text": "",
+                                  "media_ref": f"m{int(rng.integers(9))}",
+                                  "offset": j})
+                else:
+                    n = int(rng.integers(0, 12))
+                    spans.append({"kind": "text",
+                                  "text": " ".join(rng.choice(vocab, n)),
+                                  "media_ref": "", "offset": j})
+            docs.append((d, spans))
+        for budget in (1, 5, 16, 64):
+            self._check(docs, budget)
+
+    def test_dataset_layout_independent(self, ray_session):
+        import ray.data
+
+        from spidey_ray.stages.spans import chunk_interleaved_batch
+
+        def t(txt, off):
+            return {"kind": "text", "text": txt, "media_ref": "",
+                    "offset": off}
+
+        docs = [(d, [t(f"tok{d} " * (d % 9 + 1), i) for i in range(d % 5 + 1)])
+                for d in range(50)]
+        tbl = self._spans_table(docs)
+        one = (ray.data.from_arrow(tbl)
+               .map_batches(chunk_interleaved_batch, batch_format="pyarrow",
+                            fn_kwargs={"budget": 10})
+               .to_pandas())
+        many = (ray.data.from_arrow(tbl).repartition(7)
+                .map_batches(chunk_interleaved_batch, batch_format="pyarrow",
+                             fn_kwargs={"budget": 10})
+                .to_pandas())
+        key = ["doc_id", "chunk_id"]
+        a = one.sort_values(key).reset_index(drop=True)
+        b = many.sort_values(key).reset_index(drop=True)
+        assert a.drop(columns="spans").equals(b.drop(columns="spans"))
+        assert a["spans"].map(list).equals(b["spans"].map(list))
+
+
 class TestLineDedup:
     def _serial(self, rows):
         seen, out = set(), []
