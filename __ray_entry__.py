@@ -944,21 +944,23 @@ def q_vlm_curation(sf_dir: str):
     """The composed INTERLEAVED curation pipeline
     (pipelines/interleaved.curate_interleaved — the axis-B counterpart of
     curation_pipeline): cross-doc keep-first media dedup in the
-    interleave → per-span text gate → tokenizer render with media
-    placeholders → FFD packing into 1024-position sequences (media spans
-    cost 4 positions).  Rows-only: every constituent carries its own SQL
-    oracle (media_span_dedup, spans_render) or pytest (gate, packing);
-    bin assignment is block-local FFD by design."""
+    interleave → per-span text gate → context-window chunking at the
+    sequence budget (chunk_interleaved_batch; guarantees no packed bin
+    exceeds it) → tokenizer render with media placeholders → FFD packing
+    into 1024-position sequences (media spans cost 4 positions).
+    Rows-only: every constituent carries its own SQL oracle
+    (media_span_dedup, chunk_interleaved, spans_render) or pytest (gate,
+    packing); bin assignment is block-local FFD by design."""
     from spidey_ray.pipelines.interleaved import curate_interleaved
 
     out = curate_interleaved(
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(_build_shared_media_spans, batch_format="pyarrow"),
-        seq_budget=1024,
+        seq_budget=1024, chunk_budget=1024,
     ).to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     return (out.drop(columns=["bin_id", "bin_fill"])
-            .sort_values("doc_id").reset_index(drop=True))
+            .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
 
 
 def q_heavy_hitters(sf_dir: str):

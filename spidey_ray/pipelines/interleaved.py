@@ -31,7 +31,8 @@ import ray.data
 
 from ..stages.contamination import pack_by_cost
 from ..stages.spans import (_flat_with_pos, _rebuild_spans,
-                            _whitespace_word_counts, spans_to_text_batch,
+                            _whitespace_word_counts, chunk_interleaved_batch,
+                            spans_to_text_batch,
                             strip_duplicate_media_spans)
 from .curation import _persist
 
@@ -79,12 +80,20 @@ def curate_interleaved(docs: "ray.data.Dataset", *,
                        media_token: str = "<|image|>",
                        media_tokens: int = 4,
                        seq_budget: int = 1024,
+                       chunk_budget: int | None = None,
                        checkpoint_dir: str | None = None
                        ) -> "ray.data.Dataset":
     """The composed interleaved pipeline; returns packed training rows
     (doc_id, rendered_text, n_text_tokens, n_media_spans, n_positions,
     bin_id, bin_fill) — every doc assigned to a ``seq_budget``-capped
-    sequence bin, media spans costing ``media_tokens`` positions each."""
+    sequence bin, media spans costing ``media_tokens`` positions each.
+
+    ``chunk_budget`` (typically ``= seq_budget``) splits docs LONGER than
+    the budget into span-boundary chunks before rendering
+    (``chunk_interleaved_batch``), so every packed item fits and no bin
+    can exceed ``seq_budget`` — without it, an over-budget doc rides into
+    FFD whole and lands alone in an over-budget bin.  Chunked rows carry
+    ``chunk_id`` (0 for unsplit docs)."""
     docs = _persist(docs, checkpoint_dir, "interleaved_in")
     deduped = strip_duplicate_media_spans(
         docs, spans_col=spans_col, id_col=id_col)
@@ -97,11 +106,23 @@ def curate_interleaved(docs: "ray.data.Dataset", *,
 
     gated = deduped.map_batches(gate, batch_format="pyarrow")
 
+    if chunk_budget is not None:
+        def chunk(t: pa.Table) -> pa.Table:
+            return chunk_interleaved_batch(
+                t.select([id_col, spans_col]), spans_col=spans_col,
+                id_col=id_col, budget=chunk_budget,
+                media_tokens=media_tokens)
+
+        gated = gated.map_batches(chunk, batch_format="pyarrow")
+
     def render(t: pa.Table) -> pa.Table:
-        return spans_to_text_batch(
+        r = spans_to_text_batch(
             t.select([id_col, spans_col]), spans_col=spans_col,
             id_col=id_col, media_token=media_token,
             media_tokens=media_tokens)
+        if "chunk_id" in t.column_names:
+            r = r.append_column("chunk_id", t["chunk_id"])
+        return r
 
     rendered = gated.map_batches(render, batch_format="pyarrow")
     return pack_by_cost(rendered, seq_budget, "n_positions", id_col=id_col)

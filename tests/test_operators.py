@@ -1410,6 +1410,41 @@ class TestInterleavedCuration:
         assert (out["bin_fill"] <= 20).all()
         assert out["bin_id"].notna().all()
 
+    def test_chunk_budget_bounds_every_bin(self, ray_session):
+        """With chunk_budget set, an over-budget doc splits at span
+        boundaries before packing, so NO bin exceeds seq_budget; without
+        it the oversize doc rides into FFD whole (over-budget singleton
+        bin) — the documented contrast."""
+        import ray.data
+
+        from spidey_ray.pipelines.interleaved import curate_interleaved
+        from spidey_ray.stages.round_stage import SPAN_TYPE
+
+        big = [{"kind": "text",
+                "text": " ".join(f"t{j}_{i}" for i in range(12)),
+                "media_ref": "", "offset": j} for j in range(4)]  # 48 toks
+        small = [{"kind": "text", "text": "a b c d e f g h i",
+                  "media_ref": "", "offset": 0}]
+        t = pa.table({
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "spans": pa.array([big, small], type=SPAN_TYPE)})
+
+        whole = curate_interleaved(
+            ray.data.from_arrow(t), seq_budget=20).to_pandas()
+        assert whole.set_index("doc_id").loc[0, "n_positions"] == 48
+        assert (whole.groupby("bin_id")["n_positions"].sum() > 20).any()
+
+        chunked = curate_interleaved(
+            ray.data.from_arrow(t), seq_budget=20,
+            chunk_budget=20).to_pandas()
+        # doc 0 → four 12-token span chunks (no two fit in 20 together)
+        d0 = chunked[chunked["doc_id"] == 0].sort_values("chunk_id")
+        assert d0["chunk_id"].tolist() == [0, 1, 2, 3]
+        assert d0["n_positions"].tolist() == [12, 12, 12, 12]
+        assert (chunked.groupby("bin_id")["n_positions"].sum() <= 20).all()
+        assert chunked.set_index(["doc_id", "chunk_id"]).loc[
+            (1, 0), "n_positions"] == 9
+
     def test_pack_by_cost_matches_ffd(self, ray_session):
         import ray.data
 
