@@ -864,6 +864,21 @@ def q_spans_render(sf_dir: str):
             .map_batches(spans_to_text_batch, batch_format="pyarrow"))
 
 
+def q_media_text_pairs(sf_dir: str):
+    """CLIP-style contrastive pair mining from interleaved docs
+    (stages/spans.py:media_text_pairs_batch): each media span pairs with
+    its nearest preceding non-empty text span (else the following one) —
+    (doc_id, media_ref, pos, caption, caption_side) rows.  In the
+    construction every media span directly follows its chunk's text, so
+    the oracle pairs 'before' with chunk i's text and derives pos from
+    the interleave arithmetic."""
+    from spidey_ray.stages.spans import media_text_pairs_batch
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(_build_interleaved_spans, batch_format="pyarrow")
+            .map_batches(media_text_pairs_batch, batch_format="pyarrow"))
+
+
 def q_chunk_interleaved(sf_dir: str):
     """Context-window chunking of interleaved docs (stages/spans.py:
     chunk_interleaved_batch): greedy first-fit split of each span sequence
@@ -1754,6 +1769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": q_url_canonicalize,
         "url_query_sort": q_url_query_sort,
         "quality_stop_ratio": q_quality_stop_ratio,
+        "media_text_pairs": q_media_text_pairs,
         "url_valid_filter": q_url_valid_filter,
         "sort_limit": q_sort_limit,
         "heavy_hitters": q_heavy_hitters,
@@ -2313,6 +2329,38 @@ def oracle_sql() -> dict[str, str]:
                 cast(case when doc_id % 23 = 0 and i = mx then 0
                           else 2 * i + 1 end as integer) as offset
             from sel
+        """,
+        # contrastive pairs of the same construction: a media span always
+        # directly follows its chunk's text span (non-empty whenever the
+        # doc has tokens), so every pair is ('before', chunk i text);
+        # pos = i text spans 0..i plus the media spans at chunks < i,
+        # i.e. i + inclusive-cumulative media count.  Zero-token docs
+        # (empty text span only) contribute no pairs.
+        "media_text_pairs": rf"""
+            with tok as (select doc_id, {_TOKEN_SQL} as toks from documents),
+            base as (select doc_id,
+                            greatest(1, cast(ceil(len(toks) / 8.0) as int))
+                                as n_chunks,
+                            toks from tok),
+            chunks as (
+                select doc_id, i,
+                    array_to_string(toks[8*i+1 : 8*i+8], ' ') as txt,
+                    case when (doc_id + i) % 5 = 0 then 1 else 0 end
+                        as has_media
+                from base, unnest(generate_series(0, n_chunks - 1)) as t(i)),
+            med as (
+                select doc_id, i, txt,
+                       sum(has_media) over (partition by doc_id order by i
+                                            rows unbounded preceding)
+                           as cum_media
+                from chunks where has_media = 1)
+            select doc_id,
+                'media://' || cast(doc_id as varchar) || '/'
+                    || cast(i % 3 as varchar) as media_ref,
+                cast(i + cum_media as bigint) as pos,
+                txt as caption,
+                'before' as caption_side
+            from med where txt <> ''
         """,
         # the VLM render of the same construction: pieces (non-empty chunk
         # text, then the media placeholder) joined with single spaces in

@@ -102,6 +102,61 @@ def explode_media_refs_batch(batch: pa.Table, spans_col: str = "spans",
     })
 
 
+def media_text_pairs_batch(batch: pa.Table, spans_col: str = "spans",
+                           id_col: str = "doc_id") -> pa.Table:
+    """CLIP-style contrastive pair mining from interleaved docs: each
+    media span pairs with its NEAREST text span in stored interleave
+    order — the preceding non-empty text span if one exists in the doc,
+    else the following one; media with no non-empty text span in the doc
+    yields no pair.  One row per paired media span: ``(doc_id, media_ref,
+    pos, caption, caption_side)`` with ``caption_side`` ∈ 'before'/'after'
+    and ``pos`` the media span's interleave ordinal.
+
+    Vectorized: text-span candidates are one global index array per
+    block; each media span finds its neighbours with two
+    ``np.searchsorted`` probes (validated against the doc boundary), no
+    per-span Python."""
+    col = batch[spans_col].combine_chunks()
+    flat, parent, pos, _lens = _flat_with_pos(col)
+    if not len(flat):
+        return pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "media_ref": pa.array([], type=pa.string()),
+            "pos": pa.array([], type=pa.int64()),
+            "caption": pa.array([], type=pa.string()),
+            "caption_side": pa.array([], type=pa.string()),
+        })
+    is_text = pc.equal(flat.field("kind"), "text").to_numpy(
+        zero_copy_only=False)
+    txt = pc.fill_null(flat.field("text"), "")
+    words = _whitespace_word_counts(txt)
+    cand = np.nonzero(is_text & (words > 0))[0]       # global text indices
+    media_idx = np.nonzero(~is_text)[0]
+    if len(cand):
+        ins = np.searchsorted(cand, media_idx)
+        before = np.where(ins > 0, cand[np.maximum(ins - 1, 0)], -1)
+        after = np.where(ins < len(cand),
+                         cand[np.minimum(ins, len(cand) - 1)], -1)
+    else:
+        before = after = np.full(len(media_idx), -1, dtype=np.int64)
+    before_ok = (before >= 0) & (parent[before] == parent[media_idx])
+    after_ok = (after >= 0) & (parent[after] == parent[media_idx])
+    chosen = np.where(before_ok, before, after)
+    keep = before_ok | after_ok
+    m, c = media_idx[keep], chosen[keep]
+    side = np.where(before_ok[keep], "before", "after")
+    ids = batch[id_col].take(pa.array(parent[m], type=pa.int64()))
+    txt_np = txt.to_numpy(zero_copy_only=False)
+    refs = flat.field("media_ref").to_numpy(zero_copy_only=False)
+    return pa.table({
+        id_col: ids,
+        "media_ref": pa.array(refs[m], type=pa.string()),
+        "pos": pa.array(pos[m]),
+        "caption": pa.array(txt_np[c], type=pa.string()),
+        "caption_side": pa.array(side, type=pa.string()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # interleaved rendering: spans → tokenizer-ready text
 # ---------------------------------------------------------------------------

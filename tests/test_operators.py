@@ -1037,6 +1037,75 @@ class TestSpanStats:
         assert out["offset"].to_pylist() == [1, 3, 0]
 
 
+class TestMediaTextPairs:
+    """media_text_pairs_batch ≡ per-doc mirror: each media span pairs
+    with the nearest PRECEDING non-empty text span, else the following
+    one, else no pair."""
+
+    @staticmethod
+    def _mirror(doc_id, spans):
+        out = []
+        for j, s in enumerate(spans):
+            if s["kind"] == "text":
+                continue
+            before = [k for k in range(j) if spans[k]["kind"] == "text"
+                      and spans[k]["text"].split()]
+            after = [k for k in range(j + 1, len(spans))
+                     if spans[k]["kind"] == "text"
+                     and spans[k]["text"].split()]
+            if before:
+                out.append((doc_id, s["media_ref"], j,
+                            spans[before[-1]]["text"], "before"))
+            elif after:
+                out.append((doc_id, s["media_ref"], j,
+                            spans[after[0]]["text"], "after"))
+        return out
+
+    def test_matches_mirror(self):
+        import pyarrow as pa
+
+        from spidey_ray.stages.round_stage import SPAN_TYPE
+        from spidey_ray.stages.spans import media_text_pairs_batch
+
+        rng = np.random.default_rng(41)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = []
+        for d in range(80):
+            spans = []
+            for j in range(int(rng.integers(0, 10))):
+                r = rng.random()
+                if r < 0.4:
+                    spans.append({"kind": "image", "text": "",
+                                  "media_ref": f"m{d}_{j}", "offset": j})
+                elif r < 0.55:
+                    spans.append({"kind": "text", "text": "  ",
+                                  "media_ref": "", "offset": j})
+                else:
+                    n = int(rng.integers(1, 6))
+                    spans.append({"kind": "text",
+                                  "text": " ".join(rng.choice(vocab, n)),
+                                  "media_ref": "", "offset": j})
+            docs.append((d, spans))
+        # edge docs: media-only (no pair), empty, media before any text
+        docs += [(100, [{"kind": "image", "text": "", "media_ref": "solo",
+                         "offset": 0}]),
+                 (101, []),
+                 (102, [{"kind": "image", "text": "", "media_ref": "first",
+                         "offset": 0},
+                        {"kind": "text", "text": "cap here",
+                         "media_ref": "", "offset": 1}])]
+        t = pa.table({
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "spans": pa.array([s for _, s in docs], type=SPAN_TYPE)})
+        got = [tuple(r.values())
+               for r in media_text_pairs_batch(t).to_pylist()]
+        exp = [p for d, spans in docs for p in self._mirror(d, spans)]
+        assert sorted(got) == sorted(exp)
+        # the media-before-text doc pairs 'after'
+        assert (102, "first", 0, "cap here", "after") in got
+        assert not any(r[0] in (100, 101) for r in got)
+
+
 class TestChunkInterleaved:
     """chunk_interleaved_batch ≡ a per-doc greedy mirror: first-fit chunks
     in stored span order, text cost = whitespace words, media cost = 4,
