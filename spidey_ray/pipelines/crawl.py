@@ -540,6 +540,21 @@ class CrawlEngine:
         if admitted.empty:
             return
 
+        # footprint prefetch, submitted at ADMISSION time: the near-dup
+        # gates only ever look up the round's PARENT urls + the carried
+        # previous-page url, and the rec rows mirror the admitted rows
+        # 1:1 (same parent_url column) — so the keys are known BEFORE the
+        # fetch wave and the KV round-trip overlaps it entirely instead
+        # of sitting on the serial gate path.  Nothing writes footprints
+        # between here and the gates (the round stage doesn't touch
+        # them), and actor order serializes these reads behind last
+        # round's puts — semantics identical to fetching at gate time.
+        fp_keys = set(admitted["parent_url"]) - {""}
+        if self.gate.previouspage:
+            fp_keys.add(self.gate.previouspage)
+        fp_refs = (self.footprints.get_many_refs(sorted(fp_keys))
+                   if fp_keys else [])
+
         # assign canonical seq + global fetch order (driver memory is
         # O(round): the frontier stays sharded, history goes to disk)
         admitted = admitted.assign(seq=np.arange(len(admitted), dtype=np.int64))
@@ -632,15 +647,11 @@ class CrawlEngine:
             .to_pandas()
             .sort_values("seq", kind="mergesort")
         )
-        # footprint prefetch: the near-dup gates only ever look up the
-        # round's PARENT urls (fetched in earlier rounds) and the carried
-        # previous-page url — batch-fetch exactly those keys from the KV
-        # shards, gate against a round-local dict, write the new footprints
-        # back after the loop.  Driver footprint memory is O(round).
-        fp_keys = set(rec_df["parent_url"]) - {""}
-        if self.gate.previouspage:
-            fp_keys.add(self.gate.previouspage)
-        prefetched = self.footprints.get_many(sorted(fp_keys)) if fp_keys else {}
+        # collect the footprint prefetch submitted at admission time (the
+        # refs have been in flight for the whole fetch wave); gate against
+        # a round-local dict, write the new footprints back after the
+        # loop.  Driver footprint memory is O(round).
+        prefetched = self.footprints.collect_many(fp_refs)
         self.gate.page_footprints = dict(prefetched)
 
         is_blacklisted = self.blacklist.matcher()

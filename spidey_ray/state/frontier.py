@@ -574,16 +574,28 @@ class ShardedFootprints:
 
         return zlib.crc32(url.encode()) % self.n_shards
 
-    def get_many(self, urls: list[str]) -> dict[str, tuple[int, int]]:
+    def get_many_refs(self, urls: list[str]) -> list:
+        """Submit the per-shard lookups and return the refs WITHOUT
+        waiting — callers that know their keys early (the crawl round
+        knows its parent urls at ADMISSION time) overlap the KV
+        round-trip with other work and merge via ``collect_many``.
+        Actor submission order guarantees these reads see every
+        previously-submitted ``put_many`` from the same caller."""
         by_shard: list[list[str]] = [[] for _ in range(self.n_shards)]
         for u in urls:
             by_shard[self._route(u)].append(u)
-        refs = [s.get_many.remote(us)
+        return [s.get_many.remote(us)
                 for s, us in zip(self.shards, by_shard) if us]
+
+    @staticmethod
+    def collect_many(refs: list) -> dict[str, tuple[int, int]]:
         out: dict[str, tuple[int, int]] = {}
         for d in ray.get(refs):
             out.update(d)
         return out
+
+    def get_many(self, urls: list[str]) -> dict[str, tuple[int, int]]:
+        return self.collect_many(self.get_many_refs(urls))
 
     def put_many(self, items: dict[str, tuple[int, int]]) -> list:
         """Submit the writes and return the refs WITHOUT waiting.  Safe to
