@@ -305,6 +305,15 @@ def q_grouped_topk(sf_dir: str):
 _TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9'']+')"
 
 
+def _hex32_sql(col: str) -> str:
+    """DuckDB expression parsing an 8-hex-char string column to its
+    integer value (no hex→int cast exists): per-char polynomial over
+    strpos into the hex alphabet."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({col},{i+1},1))-1)"
+        f"*{16 ** (7 - i)}" for i in range(8)) + ")"
+
+
 def _shingle_sql(k: int) -> str:
     """DuckDB expression for the distinct k-token shingle STRINGS of a
     `toks` list column — set-equal to `spidey_ray.stages.dedup.shingle_hashes`
@@ -877,6 +886,21 @@ def q_media_text_pairs(sf_dir: str):
     return (_read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(_build_interleaved_spans, batch_format="pyarrow")
             .map_batches(media_text_pairs_batch, batch_format="pyarrow"))
+
+
+def q_shard_shuffle(sf_dir: str):
+    """Deterministic global shuffle + shard assignment for training-data
+    export (stages/sampling.py:shuffle_to_shards): rank =
+    md5('42:'+id)[:8], shard_id = int(rank,16) % 16, within-shard order
+    (rank, id) — the same row lands in the same shard at the same
+    position on any cluster size or block layout.  The oracle recomputes
+    the identical hex ranks in DuckDB and parses them with a per-char
+    polynomial (DuckDB has no hex→int cast)."""
+    from spidey_ray.stages.sampling import shuffle_to_shards
+
+    return shuffle_to_shards(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        "doc_id", n_shards=16)
 
 
 def q_chunk_interleaved(sf_dir: str):
@@ -1770,6 +1794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_query_sort": q_url_query_sort,
         "quality_stop_ratio": q_quality_stop_ratio,
         "media_text_pairs": q_media_text_pairs,
+        "shard_shuffle": q_shard_shuffle,
         "url_valid_filter": q_url_valid_filter,
         "sort_limit": q_sort_limit,
         "heavy_hitters": q_heavy_hitters,
@@ -1955,6 +1980,24 @@ def oracle_sql() -> dict[str, str]:
                            (partition by user_id order by ts, event_id),
                        -1) as bigint) as delta_us
             from events
+        """,
+        # deterministic export shuffle: identical md5 hex ranks, shard by
+        # the parsed 32-bit rank mod 16, within-shard order (rank, id)
+        "shard_shuffle": f"""
+            with r as (
+                select doc_id, lang,
+                       substr(md5('42:' || cast(doc_id as varchar)), 1, 8)
+                           as rank
+                from documents),
+            s as (
+                select doc_id, lang, rank,
+                       cast({_hex32_sql('rank')} % 16 as bigint) as shard_id
+                from r)
+            select doc_id, lang, shard_id,
+                   cast(row_number() over (partition by shard_id
+                                           order by rank, doc_id) - 1
+                        as bigint) as shard_pos
+            from s
         """,
         "stratified_sample": """
             select o_orderkey, o_orderstatus, o_totalprice

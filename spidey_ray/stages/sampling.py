@@ -136,3 +136,41 @@ def cap_per_key(ds: "ray.data.Dataset", key_col: str, id_col: str,
 
     return (ds.map_batches(tag, batch_format="pandas")
             .groupby("_kb").map_groups(per_bucket, batch_format="pandas"))
+
+
+def shuffle_to_shards(ds: "ray.data.Dataset", id_col: str,
+                      n_shards: int, seed: str = "42"
+                      ) -> "ray.data.Dataset":
+    """Content-deterministic global shuffle + shard assignment — the
+    training-data EXPORT step (shuffle the curated corpus, write N
+    shards): ``rank = md5(f"{seed}:{id}")[:8]``,
+    ``shard_id = int(rank, 16) % n_shards``, within-shard order
+    ``shard_pos`` by ``(rank, id)``.  The same row lands in the same
+    shard at the same position on ANY cluster size or block layout —
+    reruns and resumed exports agree — and a different ``seed`` is a
+    fresh permutation.  (``ds.random_shuffle`` gives none of that: its
+    order changes with seed plumbing, block layout and cluster size.)
+
+    One exchange over exactly ``n_shards`` groups; md5 uniformity makes
+    the groups even-sized, which IS the export partitioning (at scale,
+    follow with ``write_parquet(partition_cols=["shard_id"])`` so a
+    failed export skips finished shards).  Output carries every input
+    column plus (shard_id, shard_pos)."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        ranks = [hashlib.md5(f"{seed}:{v}".encode("utf-8")).hexdigest()[:8]
+                 for v in df[id_col].tolist()]
+        df["_rank"] = ranks
+        df["shard_id"] = np.asarray(
+            [int(r, 16) % n_shards for r in ranks], dtype=np.int64)
+        return df
+
+    def order(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_rank", id_col], kind="mergesort")
+        g = g.drop(columns=["_rank"])
+        g["shard_pos"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("shard_id").map_groups(order, batch_format="pandas"))

@@ -2139,6 +2139,46 @@ class TestDeterministicSampling:
         for i in a["id"][:50]:
             assert hashlib.md5(str(i).encode()).hexdigest()[:8] < "4ccccccc"
 
+    def test_shuffle_to_shards(self, keyed_ds):
+        import hashlib
+
+        from spidey_ray.stages.sampling import shuffle_to_shards
+
+        out = shuffle_to_shards(keyed_ds, "id", n_shards=8).to_pandas()
+        # permutation: every row exactly once, all columns carried
+        assert sorted(out["id"]) == list(range(3000))
+        assert set(out.columns) == {"id", "k", "shard_id", "shard_pos"}
+        # shard assignment is exactly the md5 rule; positions contiguous
+        for sid, g in out.groupby("shard_id"):
+            assert sorted(g["shard_pos"]) == list(range(len(g)))
+            ranks = [hashlib.md5(f"42:{i}".encode()).hexdigest()[:8]
+                     for i in g["id"]]
+            assert all(int(r, 16) % 8 == sid for r in ranks)
+            # within-shard order is (rank, id)
+            ordered = g.sort_values("shard_pos")
+            keys = [(hashlib.md5(f"42:{i}".encode()).hexdigest()[:8], i)
+                    for i in ordered["id"]]
+            assert keys == sorted(keys)
+        # md5 uniformity: shards even-sized (3000/8 = 375 ± slack)
+        sizes = out.groupby("shard_id").size()
+        assert len(sizes) == 8 and sizes.min() > 300 and sizes.max() < 450
+
+    def test_shuffle_layout_and_seed(self, keyed_ds):
+        from spidey_ray.stages.sampling import shuffle_to_shards
+
+        a = (shuffle_to_shards(keyed_ds, "id", n_shards=4)
+             .to_pandas().sort_values(["shard_id", "shard_pos"])
+             .reset_index(drop=True))
+        b = (shuffle_to_shards(keyed_ds.repartition(13), "id", n_shards=4)
+             .to_pandas().sort_values(["shard_id", "shard_pos"])
+             .reset_index(drop=True))
+        assert a.equals(b)                       # layout-independent
+        c = shuffle_to_shards(keyed_ds, "id", n_shards=4,
+                              seed="other").to_pandas()
+        ord_a = a.sort_values(["shard_id", "shard_pos"])["id"].tolist()
+        ord_c = (c.sort_values(["shard_id", "shard_pos"])["id"].tolist())
+        assert ord_a != ord_c                    # fresh permutation
+
     def test_stratified_fractions(self, keyed_ds):
         from spidey_ray.stages.sampling import hash_sample
 
