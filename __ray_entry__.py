@@ -979,6 +979,36 @@ def q_media_span_dedup(sf_dir: str):
     return stripped.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_dangling_media_refs(sf_dir: str):
+    """Referential-integrity check over the interleave, composed from the
+    operator library: explode the media side of interleaved docs
+    (explode_media_refs_batch) and anti-join it against the ingested
+    payload registry — simulated content-deterministically as the refs
+    whose md5 rank is not ≡0 mod 4 ('a quarter of payload fetches
+    failed').  One dangling row per media SPAN (doc_id, media_ref,
+    offset) whose payload is missing; both sides stream through the
+    hash-bucket anti join."""
+    import pyarrow.compute as _pc
+
+    from spidey_ray.stages.joins import anti_join
+    from spidey_ray.stages.spans import explode_media_refs_batch
+
+    refs = (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(_build_shared_media_spans, batch_format="pyarrow")
+            .map_batches(explode_media_refs_batch, batch_format="pyarrow")
+            .materialize())      # consumed twice: probe side + registry
+
+    def ingested(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        keep = [int(hashlib.md5(r.encode()).hexdigest()[:8], 16) % 4 != 0
+                for r in t["media_ref"].to_pylist()]
+        return t.filter(pa.array(keep)).select(["media_ref"])
+
+    registry = refs.map_batches(ingested, batch_format="pyarrow")
+    return anti_join(refs, registry, on="media_ref")
+
+
 def q_vlm_curation(sf_dir: str):
     """The composed INTERLEAVED curation pipeline
     (pipelines/interleaved.curate_interleaved — the axis-B counterpart of
@@ -1795,6 +1825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stop_ratio": q_quality_stop_ratio,
         "media_text_pairs": q_media_text_pairs,
         "shard_shuffle": q_shard_shuffle,
+        "dangling_media_refs": q_dangling_media_refs,
         "url_valid_filter": q_url_valid_filter,
         "sort_limit": q_sort_limit,
         "heavy_hitters": q_heavy_hitters,
@@ -1980,6 +2011,29 @@ def oracle_sql() -> dict[str, str]:
                            (partition by user_id order by ts, event_id),
                        -1) as bigint) as delta_us
             from events
+        """,
+        # dangling media refs of the SHARED-ref construction: the
+        # ingested-payload registry is the refs with md5-rank %4 ≠ 0, and
+        # a span dangles iff its ref's rank ≡ 0 (registry membership is
+        # ref-level, so the not-in reduces to the rank rule)
+        "dangling_media_refs": f"""
+            with tok as (select doc_id, {_TOKEN_SQL} as toks from documents),
+            base as (select doc_id,
+                            greatest(1, cast(ceil(len(toks) / 8.0) as int))
+                                as n_chunks from tok),
+            med as (
+                select doc_id, i
+                from base, unnest(generate_series(0, n_chunks - 1)) as t(i)
+                where (doc_id + i) % 5 = 0),
+            refs as (
+                select doc_id,
+                    'media://' || cast((doc_id + 2 * i) % 11 as varchar)
+                        || '/' || cast(i % 3 as varchar) as media_ref,
+                    cast(2 * i + 1 as integer) as offset
+                from med)
+            select doc_id, media_ref, "offset"
+            from refs
+            where {_hex32_sql("substr(md5(media_ref), 1, 8)")} % 4 = 0
         """,
         # deterministic export shuffle: identical md5 hex ranks, shard by
         # the parsed 32-bit rank mod 16, within-shard order (rank, id)
