@@ -2179,6 +2179,47 @@ class TestDeterministicSampling:
         ord_c = (c.sort_values(["shard_id", "shard_pos"])["id"].tolist())
         assert ord_a != ord_c                    # fresh permutation
 
+    def test_export_shards_resumable(self, keyed_ds, tmp_path):
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from spidey_ray.pipelines.export import export_shards, read_shards
+
+        out = str(tmp_path / "exp")
+        s1 = export_shards(keyed_ds, out, "id", n_shards=8)
+        assert s1["shard_id"].tolist() == list(range(8))
+        assert not s1["skipped"].any()
+        assert s1["n_rows"].sum() == 3000
+        # every shard finished: data file + marker
+        for sid in range(8):
+            d = tmp_path / "exp" / f"shard={sid:05d}"
+            assert (d / "_SUCCESS").exists() and (d / "part.parquet").exists()
+        first = pq.read_table(str(tmp_path / "exp/shard=00003/part.parquet"))
+
+        # full re-run: everything skipped, nothing rewritten
+        before = (tmp_path / "exp/shard=00003/part.parquet").stat().st_mtime_ns
+        s2 = export_shards(keyed_ds, out, "id", n_shards=8)
+        assert s2["skipped"].all()
+        assert (tmp_path / "exp/shard=00003/part.parquet"
+                ).stat().st_mtime_ns == before
+
+        # lose one shard → resume completes ONLY it, byte-identical rows
+        shutil.rmtree(tmp_path / "exp/shard=00003")
+        s3 = export_shards(keyed_ds, out, "id", n_shards=8)
+        assert s3.set_index("shard_id")["skipped"].tolist() == [
+            True, True, True, False, True, True, True, True]
+        again = pq.read_table(str(tmp_path / "exp/shard=00003/part.parquet"))
+        assert again.equals(first)
+
+        # read side sees only finished shards
+        (tmp_path / "exp/shard=00005/_SUCCESS").unlink()
+        back = read_shards(out).to_pandas()
+        assert sorted(back["shard_id"].unique()) == [0, 1, 2, 3, 4, 6, 7]
+        (tmp_path / "exp/shard=00005/_SUCCESS").touch()
+        back = read_shards(out).to_pandas()
+        assert sorted(back["id"]) == list(range(3000))
+
     def test_stratified_fractions(self, keyed_ds):
         from spidey_ray.stages.sampling import hash_sample
 
