@@ -979,6 +979,31 @@ def q_media_span_dedup(sf_dir: str):
     return stripped.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_export_shards(sf_dir: str):
+    """Resumable sharded export (pipelines/export.py): deterministic
+    md5-rank shuffle → one _SUCCESS-marked parquet dir per shard, written
+    inside the per-shard task; returns the per-shard summary.  Rows-only:
+    the shuffle itself is SQL-checked as shard_shuffle, the resume
+    semantics (skip-finished, lost-shard byte-equality) are pytest-backed;
+    a fresh temp dir each run makes the summary deterministic (16 shards,
+    nothing skipped)."""
+    import shutil
+    import tempfile
+
+    from spidey_ray.pipelines.export import export_shards, read_shards
+
+    out = tempfile.mkdtemp(prefix="spidey_export_")
+    try:
+        summary = export_shards(
+            _read(sf_dir, "documents", ["doc_id", "lang"]),
+            out, "doc_id", n_shards=16)
+        n_back = read_shards(out).count()
+        summary["rows_read_back"] = np.int64(n_back)
+        return summary
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_dangling_media_refs(sf_dir: str):
     """Referential-integrity check over the interleave, composed from the
     operator library: explode the media side of interleaved docs
@@ -1835,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "semdedup": q_semdedup,
+        "export_shards": q_export_shards,
         "pack_sequences": q_pack_sequences,
         "approx_quantiles": q_approx_quantiles,
         "approx_distinct": q_approx_distinct,

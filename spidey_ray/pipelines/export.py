@@ -76,4 +76,6 @@ def read_shards(out_dir: str) -> "ray.data.Dataset":
         os.path.join(out_dir, d, "part.parquet")
         for d in os.listdir(out_dir)
         if os.path.exists(os.path.join(out_dir, d, "_SUCCESS")))
+    if not paths:       # nothing finished yet — read_parquet([]) raises
+        return ray.data.from_items([])
     return ray.data.read_parquet(paths)
