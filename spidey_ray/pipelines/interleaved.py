@@ -37,6 +37,33 @@ from ..stages.spans import (_flat_with_pos, _rebuild_spans,
 from .curation import _persist
 
 
+def normalize_crawl_spans_batch(batch: pa.Table,
+                                spans_col: str = "spans") -> pa.Table:
+    """Adapt CRAWLED span docs to the input_hint interleave the VLM
+    operator family consumes: the crawler emits kind = parent tag for
+    visible text, 'link' for anchors, 'media' for img/video/audio/embed
+    (functions/htmlspans.py:121,125,141); here media spans become
+    ``kind='image'`` (text cleared, media_ref kept) and everything else
+    becomes ``kind='text'`` carrying its visible text (anchor text
+    included — the OBELICS convention) with media_ref cleared.  Pure
+    Arrow kernels over the flattened column; the list layout is reused
+    verbatim (same offsets, zero per-span Python)."""
+    col = batch[spans_col].combine_chunks()
+    flat = pc.list_flatten(col)
+    is_media = pc.equal(pc.fill_null(flat.field("kind"), ""), "media")
+    kind = pc.if_else(is_media, "image", "text")
+    text = pc.if_else(is_media, "", pc.fill_null(flat.field("text"), ""))
+    ref = pc.if_else(is_media,
+                     pc.fill_null(flat.field("media_ref"), ""), "")
+    new_flat = pa.StructArray.from_arrays(
+        [kind, text, ref, flat.field("offset")],
+        names=["kind", "text", "media_ref", "offset"])
+    spans_arr = pa.ListArray.from_arrays(col.offsets, new_flat)
+    out = {c: batch[c] for c in batch.column_names}
+    out[spans_col] = spans_arr
+    return pa.table(out)
+
+
 def gate_text_spans_batch(batch: pa.Table, spans_col: str = "spans",
                           id_col: str = "doc_id",
                           min_span_tokens: int = 1,

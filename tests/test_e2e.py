@@ -59,3 +59,37 @@ class TestEndToEnd:
 
         fi = build_demo_index(str(tmp_path / "demo"))
         assert fi.num_documents > 0
+
+
+class TestVlmPipelineCli:
+    """The composed graft flagship CLI (crawl → interleaved curation →
+    resumable export) run as a real subprocess, fresh then resumed."""
+
+    def test_fresh_then_resume(self, tmp_path):
+        import json
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = str(tmp_path / "vlm")
+
+        def run():
+            p = subprocess.run(
+                [sys.executable, "tools/run_vlm_pipeline.py", "--out", out,
+                 "--hosts", "8", "--pages", "8", "--shards", "4",
+                 "--cpus", "4"],
+                capture_output=True, text=True, cwd=repo, timeout=300)
+            assert p.returncode == 0, p.stderr[-2000:]
+            return json.loads(p.stdout.strip().splitlines()[-1])
+
+        a = run()
+        assert a["shards_written"] == 4 and a["shards_skipped"] == 0
+        assert a["docs_in"] > 0 and a["packed_rows"] > 0
+        assert a["n_bins"] <= a["packed_rows"]
+
+        b = run()   # crawl resumes complete, export skips every shard
+        assert b["shards_written"] == 0 and b["shards_skipped"] == 4
+        assert b["urls_fetched"] == a["urls_fetched"]
+        assert b["packed_rows"] == a["packed_rows"]
+        assert b["n_bins"] == a["n_bins"]
