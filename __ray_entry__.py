@@ -1034,6 +1034,70 @@ def q_dangling_media_refs(sf_dir: str):
     return anti_join(refs, registry, on="media_ref")
 
 
+def q_pagerank(sf_dir: str):
+    """Integer-exact PageRank over a deterministic link graph derived
+    from the documents table (stages/graph.py:pagerank — the iterative
+    dataflow workload: per superstep one rank→edges join + one
+    fat-bucket contribution sum + the dangling-mass redistribution).
+    Edge construction: doc d emits (d % 4) outlinks to
+    ((d*31 + 7·i) % N) for i = 1..(d % 4), so every 4th doc is a
+    DANGLING node and the redistribution term does real work.  Ranks
+    are int64 micro-units (scale 1e12) and every step floor-divides, so
+    per-dst sums are order-independent — bit-identical on any block
+    layout / cluster size, and the oracle replays the exact iterations
+    as MATERIALIZED CTE stages (each stage references its predecessor
+    three times; without materialization DuckDB inlines the chain into
+    a 3^iters-scan plan)."""
+    from spidey_ray.stages.graph import pagerank
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = d % 4
+        src = np.repeat(d, deg)
+        starts = np.cumsum(deg) - deg
+        i = np.arange(int(deg.sum()), dtype=np.int64) - np.repeat(starts, deg) + 1
+        return pa.table({"src": src, "dst": (src * 31 + 7 * i) % n})
+
+    edges = docs.map_batches(edges_of, batch_format="pyarrow")
+    return pagerank(edges, n, iters=10)
+
+
+def _pagerank_oracle_sql(iters: int = 10) -> str:
+    """Unrolled-CTE replay of q_pagerank's exact integer iterations."""
+    ctes = ["""
+  nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+  edges AS MATERIALIZED (
+    SELECT d.doc_id AS src, (d.doc_id*31 + 7*g.i) % nn.n AS dst
+    FROM documents d, nn, generate_series(1, 3) g(i)
+    WHERE g.i <= d.doc_id % 4),
+  outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+  r0 AS MATERIALIZED (SELECT d.doc_id AS node,
+                CAST(1000000000000 // nn.n AS BIGINT) AS rank
+         FROM documents d, nn)"""]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(f"""
+  d{k} AS MATERIALIZED (SELECT COALESCE(SUM((r.rank*8500)//10000), 0) AS dm
+           FROM r{p} r LEFT JOIN outdeg o ON r.node = o.src
+           WHERE o.od IS NULL),
+  c{k} AS MATERIALIZED (SELECT e.dst AS node,
+                  SUM((r.rank*8500)//(10000*o.od)) AS contrib
+           FROM edges e JOIN r{p} r ON e.src = r.node
+                        JOIN outdeg o ON o.src = e.src
+           GROUP BY e.dst),
+  r{k} AS MATERIALIZED (SELECT b.node,
+                  (1500*1000000000000)//(10000*nn.n)
+                  + COALESCE(c.contrib, 0) + d{k}.dm // nn.n AS rank
+           FROM r{p} b CROSS JOIN nn CROSS JOIN d{k}
+           LEFT JOIN c{k} c ON b.node = c.node)""")
+    # DuckDB integer SUM() widens to HUGEINT — cast back for the compare
+    return ("WITH" + ",".join(ctes)
+            + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters}")
+
+
 def q_vlm_curation(sf_dir: str):
     """The composed INTERLEAVED curation pipeline
     (pipelines/interleaved.curate_interleaved — the axis-B counterpart of
@@ -1798,9 +1862,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": q_tfidf,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
-        "events_filter": q_events_filter,
         "events_pivot": q_events_pivot,
         "sessionize": q_sessionize,
+        # pagerank rotated INTO the window round 5 in place of
+        # events_filter (a pure predicate map whose filter shape
+        # filter_project/events_json already exercise; its oracle stays
+        # checked below the line by tools/check_entry.py)
+        "pagerank": q_pagerank,
         "events_lag": q_events_lag,
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_events_hopping,
@@ -1848,6 +1916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": q_url_canonicalize,
         "url_query_sort": q_url_query_sort,
         "quality_stop_ratio": q_quality_stop_ratio,
+        "events_filter": q_events_filter,
         "media_text_pairs": q_media_text_pairs,
         "shard_shuffle": q_shard_shuffle,
         "dangling_media_refs": q_dangling_media_refs,
@@ -2022,6 +2091,7 @@ def oracle_sql() -> dict[str, str]:
             select event_id, user_id, value from events
             where event_type = 'purchase' and value > 50
         """,
+        "pagerank": _pagerank_oracle_sql(10),
         "events_pivot": """
             select user_id,
                    cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as n_click,
