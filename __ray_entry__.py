@@ -1098,6 +1098,29 @@ def _pagerank_oracle_sql(iters: int = 10) -> str:
             + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters}")
 
 
+def q_nb_classifier(sf_dir: str):
+    """Hashed Naive Bayes classifier (stages/classifier.py — the
+    fastText-shape model-based quality/domain filter of GPT-3 / CCNet /
+    FineWeb-Edu): train on the labeled 4/5 slice (doc_id % 5 ≠ 0,
+    label = lang), classify the WHOLE corpus.  Training is one bounded
+    groupby (≤ |classes|·4097 keys of bincount partials); the integer
+    micro-log10 model broadcasts once and scoring is a pure map.  Output
+    (doc_id, pred_label, score_micro) is int64-exact, so the oracle
+    mirrors the arithmetic literal for literal (same md5[:3] buckets,
+    same (cnt+0.5)/(T+2048) cascade, ties → lexicographically first
+    label)."""
+    from spidey_ray.stages.classifier import nb_train_classify
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def train_slice(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(d % 5 != 0))
+
+    train = docs.map_batches(train_slice, batch_format="pyarrow")
+    return nb_train_classify(train, docs, label_col="lang")
+
+
 def q_vlm_curation(sf_dir: str):
     """The composed INTERLEAVED curation pipeline
     (pipelines/interleaved.curate_interleaved — the axis-B counterpart of
@@ -1851,7 +1874,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_join": q_shuffle_join,
         "shuffle_left_join": q_shuffle_left_join,
         "price_quantiles": q_price_quantiles,
-        "distinct": q_distinct,
+        # nb_classifier rotated INTO the window round 5 in place of
+        # distinct (whose distinct shape union_groupby + exact_dedup
+        # already exercise; its oracle stays checked below the line)
+        "nb_classifier": q_nb_classifier,
         "union_groupby": q_union_groupby,
         "grouped_topk": q_grouped_topk,
         # documents / events
@@ -1917,6 +1943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_query_sort": q_url_query_sort,
         "quality_stop_ratio": q_quality_stop_ratio,
         "events_filter": q_events_filter,
+        "distinct": q_distinct,
         "media_text_pairs": q_media_text_pairs,
         "shard_shuffle": q_shard_shuffle,
         "dangling_media_refs": q_dangling_media_refs,
@@ -2891,6 +2918,56 @@ def oracle_sql() -> dict[str, str]:
         # hex strings (4096), per-bucket micro-log10 ratio mirrors
         # dsir.bucket_log_ratio_micro's cascade (identical literals,
         # 0.5·4096 = 2048.0 exact), per-doc sums are int64.
+        # hashed-NB classifier: literal mirror of nb_train_classify —
+        # same md5[:3] buckets / add-0.5 smoothing over 4096 buckets as
+        # dsir_weights, plus integer micro-log priors and the
+        # (score desc, label asc) argmax tie-break
+        "nb_classifier": f"""
+            with tok as (select doc_id, lang, {_TOKEN_SQL} as toks
+                         from documents),
+            grams as materialized (
+                select doc_id, substr(md5(g), 1, 3) as b from (
+                    select doc_id, toks[i] as g
+                    from (select doc_id, toks,
+                                 unnest(generate_series(1, len(toks))) as i
+                          from tok where len(toks) >= 1)
+                    union all
+                    select doc_id, toks[i] || ' ' || toks[i+1] as g
+                    from (select doc_id, toks,
+                                 unnest(generate_series(1, len(toks)-1)) as i
+                          from tok where len(toks) >= 2))),
+            train_docs as (select doc_id, lang from tok
+                           where doc_id % 5 <> 0 and len(toks) >= 1),
+            classes as (select lang as c, count(*) as nd
+                        from train_docs group by lang),
+            tot_docs as (select cast(sum(nd) as double) as td from classes),
+            cnt as materialized (
+                select t.lang as c, g.b, count(*) as n
+                from grams g join train_docs t using (doc_id)
+                group by t.lang, g.b),
+            tots as (select c, cast(sum(n) as double) + 2048.0 as dt
+                     from cnt group by c),
+            priors as (select c, cast(floor(log10(nd / td) * 1000000 + 0.5)
+                                      as bigint) as pm
+                       from classes cross join tot_docs),
+            occ as materialized (select doc_id, b, count(*) as k
+                                 from grams group by doc_id, b),
+            micro as (
+                select o.doc_id, cl.c, o.k,
+                       cast(floor(log10((coalesce(cn.n, 0)
+                                         + cast(0.5 as double)) / tt.dt)
+                            * 1000000 + 0.5) as bigint) as m
+                from occ o cross join classes cl
+                join tots tt on tt.c = cl.c
+                left join cnt cn on cn.c = cl.c and cn.b = o.b),
+            scores as (select m.doc_id, m.c, p.pm + sum(m.k * m.m) as s
+                       from micro m join priors p on p.c = m.c
+                       group by m.doc_id, m.c, p.pm)
+            select doc_id, c as pred_label, cast(s as bigint) as score_micro
+            from scores
+            qualify row_number() over
+                (partition by doc_id order by s desc, c asc) = 1
+        """,
         "dsir_weights": f"""
             with tok as (select doc_id, {_TOKEN_SQL} as toks from documents),
             grams as (
