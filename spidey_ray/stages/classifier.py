@@ -18,13 +18,17 @@ by ``md5(gram)[:3]`` into ``NUM_BUCKETS`` = 4096 buckets.
 Scale shape, Ray-Data-first:
 
 - **train**: per-batch ``np.bincount`` partials per label (≤ 4096-long
-  arrays, never per-gram rows) → a groupby over ≤ |classes|·4097 keys →
-  the driver holds one 4096-entry array per class plus a doc counter;
+  arrays, never per-gram rows) → compacted ≤ |classes|·4097-row block
+  partials merged on the driver (the repo's bounded-key-summary
+  convention — no all-to-all for a key space this small); the driver
+  holds one 4096-entry array per class plus a doc counter;
 - **model**: per-(class, bucket) integer micro-log10 weights + integer
   micro-log10 class priors, broadcast ONCE via ``ray.put``;
-- **score**: a pure map — per doc one bucket-count vector and one int64
-  matvec against the weight matrix; argmax with a deterministic
-  tie-break (lexicographically smallest label).
+- **score**: a pure map — block-level: one flat gram-bucket stream per
+  batch (``dsir.gram_bucket_stream``: factorize + md5 per DISTINCT
+  gram), one (k, G) weight gather and per-doc ``np.add.reduceat``
+  segment sums (≡ the per-doc int64 matvec); argmax with a
+  deterministic tie-break (lexicographically smallest label).
 
 Exactness contract (the trick of ``stages/lm.py`` / ``stages/dsir.py``):
 weights are rounded to INTEGER micro-log10 units first —
@@ -47,7 +51,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .dsir import ALPHA, NUM_BUCKETS, _BucketCache, _grams
+from .dsir import ALPHA, NUM_BUCKETS, _grams, gram_bucket_stream
 from .textstats import tokens_of
 
 
@@ -55,26 +59,30 @@ def class_bucket_counts(ds: "ray.data.Dataset", text_col: str = "text",
                         label_col: str = "label"
                         ) -> tuple[dict[str, np.ndarray], dict[str, int]]:
     """Per-class hashed-gram bucket counts + per-class doc counts (docs
-    with ≥ 1 token), via per-batch bincount partials and one bounded
-    groupby (≤ |classes|·(NUM_BUCKETS+1) keys).  Returns
-    ``({label: int64[NUM_BUCKETS]}, {label: n_docs})``."""
+    with ≥ 1 token), via per-batch bincount partials (≤
+    |classes|·(NUM_BUCKETS+1) compacted rows per block) merged on the
+    driver.  Returns ``({label: int64[NUM_BUCKETS]}, {label: n_docs})``."""
 
     def emit(batch: pa.Table) -> pa.Table:
-        bucket_of = _BucketCache()
+        import pandas as pd
+
+        buckets_flat, lens = gram_bucket_stream(batch[text_col].to_pylist())
+        kept = lens > 0
         per: dict[str, np.ndarray] = {}
         docs: dict[str, int] = {}
-        for txt, lab in zip(batch[text_col].to_pylist(),
-                            batch[label_col].to_pylist()):
-            toks = tokens_of(txt or "")
-            if not toks:
-                continue
-            arr = per.get(lab)
-            if arr is None:
-                arr = per[lab] = np.zeros(NUM_BUCKETS, dtype=np.int64)
-                docs[lab] = 0
-            docs[lab] += 1
-            for g in _grams(toks):
-                arr[bucket_of(g)] += 1
+        if buckets_flat.size:
+            doc_labs = np.asarray(batch[label_col].to_pylist(),
+                                  dtype=object)[kept]
+            codes, uniq = pd.factorize(doc_labs, sort=False)
+            # one fused bincount over (label_code, bucket) pairs
+            seg_codes = np.repeat(codes, lens[kept])
+            fused = np.bincount(seg_codes * NUM_BUCKETS + buckets_flat,
+                                minlength=len(uniq) * NUM_BUCKETS)
+            fused = fused.reshape(len(uniq), NUM_BUCKETS).astype(np.int64)
+            ndoc = np.bincount(codes, minlength=len(uniq))
+            for k, lab in enumerate(uniq):
+                per[lab] = fused[k]
+                docs[lab] = int(ndoc[k])
         labs, buckets, ns = [], [], []
         for lab, arr in per.items():
             nz = np.flatnonzero(arr)
@@ -89,20 +97,33 @@ def class_bucket_counts(ds: "ray.data.Dataset", text_col: str = "text",
             "n": pa.array(ns, type=pa.int64()),
         })
 
-    df = (ds.map_batches(emit, batch_format="pyarrow")
-          .groupby(["label", "bucket"]).sum("n").to_pandas())
+    # bounded key space (≤ |classes|·(NUM_BUCKETS+1) rows per block
+    # partial): merge on the driver like the repo's other bounded-key
+    # summaries (token top-k, outdegree vectors) — a sort-based groupby
+    # exchange costs more than the counting pass itself.  Driver memory
+    # is O(|classes|·NUM_BUCKETS); partials stream one block at a time.
+    import pandas as pd
+
     counts: dict[str, np.ndarray] = {}
     ndocs: dict[str, int] = {}
-    if "label" not in df.columns:        # empty input collects column-less
-        return counts, ndocs
-    for lab, grp in df.groupby("label"):
-        arr = np.zeros(NUM_BUCKETS, dtype=np.int64)
-        b = grp["bucket"].to_numpy()
-        n = grp["sum(n)"].to_numpy().astype(np.int64)
-        doc_rows = b == -1
-        ndocs[str(lab)] = int(n[doc_rows].sum())
-        arr[b[~doc_rows]] = n[~doc_rows]
-        counts[str(lab)] = arr
+    for ref in ds.map_batches(emit, batch_format="pyarrow").to_arrow_refs():
+        part = ray.get(ref)
+        if not len(part):
+            continue
+        labs = np.asarray(part["label"].to_pylist(), dtype=object)
+        b = part["bucket"].to_numpy().astype(np.int64)
+        n = part["n"].to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(labs, sort=False)
+        for k, lab in enumerate(uniq):
+            arr = counts.get(lab)
+            if arr is None:
+                arr = counts[lab] = np.zeros(NUM_BUCKETS, dtype=np.int64)
+                ndocs[lab] = 0
+            m = codes == k
+            bk, nk = b[m], n[m]
+            doc_rows = bk == -1
+            ndocs[lab] += int(nk[doc_rows].sum())
+            np.add.at(arr, bk[~doc_rows], nk[~doc_rows])
     return counts, ndocs
 
 
@@ -139,25 +160,27 @@ def nb_classify(ds: "ray.data.Dataset", labels: list[str],
 
     def score(batch: pa.Table) -> pa.Table:
         labs, pri, w = ray.get(model_ref)    # numpy: zero-copy reads
-        bucket_of = _BucketCache()
-        ids, preds, scores = [], [], []
-        for did, txt in zip(batch[id_col].to_pylist(),
-                            batch[text_col].to_pylist()):
-            toks = tokens_of(txt or "")
-            if not toks:
-                continue
-            b = np.fromiter((bucket_of(g) for g in _grams(toks)),
-                            dtype=np.int64, count=2 * len(toks) - 1)
-            occ = np.bincount(b, minlength=NUM_BUCKETS).astype(np.int64)
-            s = pri + w @ occ                # int64 matvec, exact
-            best = int(np.argmax(s))         # first max = sorted-label tie-break
-            ids.append(did)
-            preds.append(labs[best])
-            scores.append(int(s[best]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets, lens = gram_bucket_stream(batch[text_col].to_pylist())
+        kept = lens > 0
+        if not buckets.size:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "pred_label": pa.array([], type=pa.string()),
+                "score_micro": pa.array([], type=pa.int64()),
+            })
+        # Σ_grams W[c, bucket(gram)] per doc, every class at once: gather
+        # the (k, G) weight stream and segment-sum it — int64 reduceat,
+        # order-independent, identical to the per-doc matvec
+        starts = np.concatenate(([0], np.cumsum(lens[kept])[:-1]))
+        s = np.add.reduceat(w[:, buckets], starts, axis=1) + pri[:, None]
+        best = np.argmax(s, axis=0)          # first max = sorted-label tie-break
         return pa.table({
-            id_col: pa.array(ids, type=pa.int64()),
-            "pred_label": pa.array(preds, type=pa.string()),
-            "score_micro": pa.array(scores, type=pa.int64()),
+            id_col: pa.array(ids[kept], type=pa.int64()),
+            "pred_label": pa.array(
+                np.asarray(labs, dtype=object)[best], type=pa.string()),
+            "score_micro": pa.array(s[best, np.arange(len(best))],
+                                    type=pa.int64()),
         })
 
     return ds.map_batches(score, batch_format="pyarrow")

@@ -60,27 +60,61 @@ class _BucketCache:
         return b
 
 
+def gram_bucket_stream(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Flat md5-bucket stream of every doc's uni+bigrams, block-level.
+
+    Returns ``(buckets int64[G], lens int64[len(texts)])`` where doc i's
+    grams occupy the contiguous slice of length ``lens[i]`` (0 for
+    token-less docs) in ``_grams`` order.  The per-gram Python of a
+    doc-at-a-time loop (dict probe + generator step per gram) is the
+    hottest cost of the hashed-ngram stages, so this does ONE
+    ``pd.factorize`` C-hash pass over the batch's gram stream, one md5
+    per DISTINCT gram, then a pure gather — buckets byte-identical to
+    :class:`_BucketCache` per gram (same md5, same slice)."""
+    import pandas as pd
+
+    grams: list = []
+    lens = np.zeros(len(texts), dtype=np.int64)
+    for i, txt in enumerate(texts):
+        toks = tokens_of(txt or "")
+        if not toks:
+            continue
+        grams.extend(toks)
+        grams.extend(map(" ".join, zip(toks, toks[1:])))
+        lens[i] = 2 * len(toks) - 1
+    if not grams:
+        return np.empty(0, dtype=np.int64), lens
+    codes, uniq = pd.factorize(np.asarray(grams, dtype=object), sort=False)
+    lut = np.fromiter(
+        (int(hashlib.md5(u.encode("utf-8")).hexdigest()[:3], 16)
+         for u in uniq), dtype=np.int64, count=len(uniq))
+    return lut[codes], lens
+
+
 def hashed_ngram_bucket_counts(ds: "ray.data.Dataset",
                                text_col: str = "text") -> np.ndarray:
     """int64[NUM_BUCKETS] occurrence counts of hashed uni+bigrams."""
 
     def emit(batch: pa.Table) -> pa.Table:
-        bucket_of = _BucketCache()
-        counts = np.zeros(NUM_BUCKETS, dtype=np.int64)
-        for txt in batch[text_col].to_pylist():
-            toks = tokens_of(txt or "")
-            for g in _grams(toks):
-                counts[bucket_of(g)] += 1
+        buckets, _ = gram_bucket_stream(batch[text_col].to_pylist())
+        counts = np.bincount(buckets, minlength=NUM_BUCKETS)
         nz = np.flatnonzero(counts)
         return pa.table({
             "bucket": pa.array(nz.astype(np.int32)),
             "n": pa.array(counts[nz]),
         })
 
-    df = (ds.map_batches(emit, batch_format="pyarrow")
-          .groupby("bucket").sum("n").to_pandas())   # ≤ NUM_BUCKETS rows
+    # bounded key space (≤ NUM_BUCKETS rows per block partial): merge on
+    # the driver like the other ≤k-rows-per-block summaries (cf. token
+    # top-k / heavy hitters) instead of paying a sort-based all-to-all
+    # that costs more than the pass itself; driver memory stays
+    # O(NUM_BUCKETS), partials stream one block at a time
     out = np.zeros(NUM_BUCKETS, dtype=np.int64)
-    out[df["bucket"].to_numpy()] = df["sum(n)"].to_numpy()
+    for ref in ds.map_batches(emit, batch_format="pyarrow").to_arrow_refs():
+        part = ray.get(ref)
+        if len(part):
+            np.add.at(out, part["bucket"].to_numpy().astype(np.int64),
+                      part["n"].to_numpy())
     return out
 
 
@@ -111,22 +145,18 @@ def dsir_weights(raw_ds: "ray.data.Dataset",
 
     def score(batch: pa.Table) -> pa.Table:
         m = ray.get(micro_ref)
-        bucket_of = _BucketCache()
-        ids, ns, ws = [], [], []
-        for did, txt in zip(batch[id_col].to_pylist(),
-                            batch[text_col].to_pylist()):
-            toks = tokens_of(txt or "")
-            if not toks:
-                continue
-            b = np.fromiter((bucket_of(g) for g in _grams(toks)),
-                            dtype=np.int64, count=2 * len(toks) - 1)
-            ids.append(did)
-            ns.append(len(b))
-            ws.append(int(m[b].sum()))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets, lens = gram_bucket_stream(batch[text_col].to_pylist())
+        kept = lens > 0
+        ws = np.zeros(len(ids), dtype=np.int64)
+        if buckets.size:
+            seg = lens[kept]
+            starts = np.concatenate(([0], np.cumsum(seg)[:-1]))
+            ws[kept] = np.add.reduceat(m[buckets], starts)
         return pa.table({
-            id_col: pa.array(ids, type=pa.int64()),
-            "n_grams": pa.array(ns, type=pa.int64()),
-            "dsir_weight_micro": pa.array(ws, type=pa.int64()),
+            id_col: pa.array(ids[kept], type=pa.int64()),
+            "n_grams": pa.array(lens[kept], type=pa.int64()),
+            "dsir_weight_micro": pa.array(ws[kept], type=pa.int64()),
         })
 
     return raw_ds.map_batches(score, batch_format="pyarrow")
