@@ -1102,8 +1102,9 @@ def q_nb_classifier(sf_dir: str):
     """Hashed Naive Bayes classifier (stages/classifier.py — the
     fastText-shape model-based quality/domain filter of GPT-3 / CCNet /
     FineWeb-Edu): train on the labeled 4/5 slice (doc_id % 5 ≠ 0,
-    label = lang), classify the WHOLE corpus.  Training is one bounded
-    groupby (≤ |classes|·4097 keys of bincount partials); the integer
+    label = lang), classify the WHOLE corpus.  Training streams
+    ≤ |classes|·4097-row bincount block partials to a driver merge (the
+    bounded-key-summary convention — no exchange); the integer
     micro-log10 model broadcasts once and scoring is a pure map.  Output
     (doc_id, pred_label, score_micro) is int64-exact, so the oracle
     mirrors the arithmetic literal for literal (same md5[:3] buckets,

@@ -86,7 +86,7 @@ def run_queries(sf_dir: str) -> dict:
         "lang_id", "approx_distinct", "sessionize", "asof_join",
         "curation_pipeline", "gopher_quality", "span_stats",
         "heavy_hitters", "spans_render", "media_span_dedup",
-        "vlm_curation", "chunk_interleaved",
+        "vlm_curation", "chunk_interleaved", "pagerank", "nb_classifier",
     ]
     qs = entry.queries()
     out = {}

@@ -614,10 +614,12 @@ class TestMultimodalDeep:
         assert (out["duration_s"] == 0.5).all()
         assert ((out["rms"] > 0.2) & (out["rms"] < 0.8)).all()
         assert (out["zcr"] > 0).all() and (out["peak_bin"] > 0).all()
-        # deterministic: same refs → same features
+        # deterministic: same refs → same features (compare ref-keyed —
+        # the streaming executor does not preserve block order)
         again = ray.data.from_items(rows).map_batches(
             audio_features_batch, batch_format="pyarrow").to_pandas()
-        pd.testing.assert_frame_equal(out, again)
+        key = lambda df: df.sort_values("media_ref").reset_index(drop=True)
+        pd.testing.assert_frame_equal(key(out), key(again))
 
 
 class TestProductQuantization:
