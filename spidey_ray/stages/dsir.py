@@ -46,20 +46,6 @@ def _grams(toks: list[str]):
         yield toks[i] + " " + toks[i + 1]
 
 
-class _BucketCache:
-    """gram → md5-bucket memo; grams repeat heavily across a corpus."""
-
-    def __init__(self) -> None:
-        self._m: dict[str, int] = {}
-
-    def __call__(self, g: str) -> int:
-        b = self._m.get(g)
-        if b is None:
-            b = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:3], 16)
-            self._m[g] = b
-        return b
-
-
 def gram_bucket_stream(texts: list) -> tuple[np.ndarray, np.ndarray]:
     """Flat md5-bucket stream of every doc's uni+bigrams, block-level.
 
@@ -69,8 +55,9 @@ def gram_bucket_stream(texts: list) -> tuple[np.ndarray, np.ndarray]:
     doc-at-a-time loop (dict probe + generator step per gram) is the
     hottest cost of the hashed-ngram stages, so this does ONE
     ``pd.factorize`` C-hash pass over the batch's gram stream, one md5
-    per DISTINCT gram, then a pure gather — buckets byte-identical to
-    :class:`_BucketCache` per gram (same md5, same slice)."""
+    per DISTINCT gram (grams repeat heavily across a corpus), then a
+    pure gather.  The bucket of a gram is, definitionally,
+    ``int(md5(gram)[:3], 16)`` — the expression the SQL oracles mirror."""
     import pandas as pd
 
     grams: list = []
